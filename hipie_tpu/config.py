@@ -1,0 +1,340 @@
+"""Configuration tree for hipie_tpu.
+
+A typed dataclass tree replacing the reference's yacs CfgNode + ~150-key
+`add_hipie_config` (reference: projects/HIPIE/hipie/config.py:5-285,
+detectron2/config/defaults.py). Only keys that affect the TPU build's behavior are
+kept; YAML files with `_BASE_` inheritance are supported for parity with the
+reference's config layout (reference: detectron2/config/config.py CfgNode.merge_from_file).
+
+Everything is a frozen dataclass so configs hash and can be closed over by jit as
+static values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields, replace
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class BackboneConfig:
+    name: str = "resnet50"            # resnet50 | vit_base | vit_large | vit_huge | swin | convnext
+    out_features: Tuple[str, ...] = ("res3", "res4", "res5")
+    # ViT options (reference: hipie/backbone/vit.py:233-466)
+    vit_img_size: int = 1024
+    vit_patch_size: int = 16
+    vit_embed_dim: int = 1280
+    vit_depth: int = 32
+    vit_num_heads: int = 16
+    vit_window_size: int = 14
+    vit_global_blocks: Tuple[int, ...] = (7, 15, 23, 31)
+    vit_use_rel_pos: bool = True
+    vit_drop_path: float = 0.0
+    vit_remat: bool = False           # jax.checkpoint per block
+    # ResNet options
+    resnet_depth: int = 50
+    frozen_stages: int = 1            # freeze stem + res2 like d2 FREEZE_AT=2
+    norm: str = "frozen_bn"           # frozen_bn | ln | gn
+
+
+@dataclass(frozen=True)
+class TextEncoderConfig:
+    # reference: hipie/models/deformable_detr/bert_model.py
+    name: str = "bert-base-uncased"
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    vocab_size: int = 30522
+    max_position_embeddings: int = 512
+    max_query_len: int = 256          # LANGUAGE_BACKBONE.MAX_QUERY_LEN (1536 for openvocab eval)
+    parallel_det: bool = False        # block-diagonal attn for class-list prompts
+    pad_max: bool = True              # pad to max_query_len (static shapes)
+    remat: bool = False
+
+
+@dataclass(frozen=True)
+class TransformerConfig:
+    # reference: hipie/models/deformable_detr/deformable_transformer_dino.py
+    d_model: int = 256
+    nhead: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    dim_feedforward: int = 1024
+    dropout: float = 0.0
+    num_feature_levels: int = 4
+    enc_n_points: int = 4
+    dec_n_points: int = 4
+    two_stage_num_proposals: int = 900
+    num_queries: int = 900
+    look_forward_twice: bool = True
+    mixed_selection: bool = True
+    # VL fusion (reference: vlfusion.py, fuse_helper.py)
+    use_vl_fusion: bool = True
+    vl_hidden_dim: int = 2048
+    vl_nheads: int = 8
+    use_extra_bert_layers: bool = False   # BertEncoderLayer inside encoder
+    # background (stuff) queries
+    num_bg_queries: int = 10
+    use_bg_lang_queries: bool = True      # language-derived bg queries
+    remat: bool = False
+
+
+@dataclass(frozen=True)
+class MaskDINOConfig:
+    # reference: hipie/models/maskdino/** + configs/mask_dino/*.yaml
+    enabled: bool = True
+    shared_encoder: bool = True       # reuse main encoder memory (ddetrs_dn.py:636-650)
+    hidden_dim: int = 256
+    num_queries: int = 300
+    nheads: int = 8
+    dim_feedforward: int = 2048
+    dec_layers: int = 9
+    enc_layers: int = 6
+    mask_dim: int = 256
+    two_stage: bool = True
+    dn_queries: int = 100
+    noise_scale: float = 0.4
+    initial_pred: bool = True
+    common_stride: int = 4
+
+
+@dataclass(frozen=True)
+class MaskHeadConfig:
+    # CondInst dynamic-conv mask head (reference: ddetrs_dn.py:1006-1502)
+    enabled: bool = True
+    in_channels: int = 256
+    dynamic_mask_channels: int = 8
+    mask_out_stride: int = 4
+    up_rate: int = 2
+    num_dynamic_layers: int = 3
+    use_rel_coord: bool = True
+    use_raft: bool = False
+
+
+@dataclass(frozen=True)
+class ClipConfig:
+    # reference: hipie/open_vocab/clip.py, hipie_img.py:811-868
+    enabled: bool = False
+    model: str = "ViT-L-14-336"
+    alpha: float = 0.35
+    beta: float = 0.7
+    agg_mode: str = "MUL"             # MUL | ADD
+
+
+@dataclass(frozen=True)
+class DNConfig:
+    # contrastive denoising (reference: ddetrs_dn.py prepare_for_cdn :1176-1349)
+    enabled: bool = True
+    dn_number: int = 100              # total dn queries (pairs*groups)
+    label_noise_ratio: float = 0.5
+    box_noise_scale: float = 1.0
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    # reference: deformable_detr.py SetCriterion + hipie_img.py:196-208 weight dict
+    class_weight: float = 2.0
+    bbox_weight: float = 5.0
+    giou_weight: float = 2.0
+    mask_weight: float = 5.0
+    dice_weight: float = 5.0
+    iou_head_weight: float = 1.0
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    num_points: int = 12544           # 112*112 point-sampled mask loss
+    oversample_ratio: float = 3.0
+    importance_sample_ratio: float = 0.75
+    aux_loss: bool = True
+    matcher: str = "hungarian"        # hungarian | ota
+    ota_topk: int = 10
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    backbone: BackboneConfig = field(default_factory=BackboneConfig)
+    text: TextEncoderConfig = field(default_factory=TextEncoderConfig)
+    transformer: TransformerConfig = field(default_factory=TransformerConfig)
+    maskdino: MaskDINOConfig = field(default_factory=MaskDINOConfig)
+    mask_head: MaskHeadConfig = field(default_factory=MaskHeadConfig)
+    clip: ClipConfig = field(default_factory=ClipConfig)
+    dn: DNConfig = field(default_factory=DNConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    # meta-arch
+    num_classes: int = 80
+    max_insts_num: int = 100
+    pixel_mean: Tuple[float, float, float] = (123.675, 116.28, 103.53)
+    pixel_std: Tuple[float, float, float] = (58.395, 57.12, 57.375)
+    size_divisibility: int = 32
+    still_cls_for_encoder: bool = False
+    use_iou_head: bool = True
+    # compute dtype for the bulk of the network; sampling/logits stay fp32
+    dtype: str = "bfloat16"
+    part_mode: bool = False
+
+
+@dataclass(frozen=True)
+class TestConfig:
+    score_thresh: float = 0.0
+    nms_thresh: float = 0.7
+    detections_per_image: int = 100
+    panoptic_overlap_thresh: float = 0.8
+    panoptic_object_mask_thresh: float = 0.25   # reference hipie_img.py panoptic_inference
+    max_pool_tokens: bool = False               # TEST.MAX_POOL token->class pooling
+    bg_cls_agnostic: bool = False
+    use_bg_for_pano: bool = True
+    test_size: Tuple[int, int] = (800, 1216)    # static padded eval bucket (H, W)
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    # reference: configs/training/r50.yaml + train_net.py:166-244
+    base_lr: float = 1e-4
+    backbone_lr_mult: float = 0.1
+    offsets_lr_mult: float = 0.1      # sampling_offsets / reference_points
+    lang_lr: float = 1e-5
+    vl_lr: float = 1e-4
+    weight_decay: float = 1e-4
+    max_iter: int = 91990
+    warmup_iters: int = 1000
+    lr_decay_steps: Tuple[int, ...] = (76658,)
+    lr_decay_gamma: float = 0.1
+    clip_norm: float = 0.1
+    grad_accum: int = 1
+    checkpoint_period: int = 1000
+    ims_per_batch: int = 16
+    amp: bool = True                  # bf16 compute on TPU
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    train_datasets: Tuple[str, ...] = ("coco_panoptic",)
+    dataset_ratios: Tuple[float, ...] = (1.0,)
+    dataset_batch_sizes: Tuple[int, ...] = (2,)
+    test_dataset: str = "coco_panoptic_val"
+    min_size_train: Tuple[int, ...] = (1024,)
+    max_size_train: int = 1024
+    lsj_crop: bool = True             # large-scale jitter + fixed 1024 crop
+    crop_size: int = 1024
+    min_size_test: int = 800
+    max_size_test: int = 1333
+    num_negative_classes: int = 80    # GLIP-style negative sampling cap
+    shuffle_classes: bool = True
+    max_text_len: int = 256
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    # TPU-native parallelism; the reference is DP-only (SURVEY.md §2.5)
+    data_axis: str = "data"
+    model_axis: str = "model"
+    dp: int = 1
+    tp: int = 1                       # shards ViT heads/MLP + transformer FFN
+    remat_policy: str = "none"        # none | minimal | full
+
+
+@dataclass(frozen=True)
+class HIPIEConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    test: TestConfig = field(default_factory=TestConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    output_dir: str = "output"
+    seed: int = 42
+
+
+# ---------------------------------------------------------------------------
+# dotted-path overrides + YAML loading with _BASE_ inheritance
+# ---------------------------------------------------------------------------
+
+def _replace_path(cfg: Any, path: str, value: Any) -> Any:
+    head, _, rest = path.partition(".")
+    if not rest:
+        f = {f.name: f for f in fields(cfg)}[head]
+        if f.type in ("int", int):
+            value = int(value)
+        elif f.type in ("float", float):
+            value = float(value)
+        elif f.type in ("bool", bool) and isinstance(value, str):
+            value = value.lower() in ("1", "true", "on", "yes")
+        if isinstance(getattr(cfg, head), tuple) and isinstance(value, list):
+            value = tuple(value)
+        return replace(cfg, **{head: value})
+    sub = getattr(cfg, head)
+    return replace(cfg, **{head: _replace_path(sub, rest, value)})
+
+
+def apply_overrides(cfg: HIPIEConfig, overrides: Dict[str, Any]) -> HIPIEConfig:
+    """Apply {'model.transformer.d_model': 256, ...} style overrides."""
+    for k, v in overrides.items():
+        cfg = _replace_path(cfg, k, v)
+    return cfg
+
+
+def _flatten(d: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k, v in d.items():
+        key = f"{prefix}{k}" if not prefix else f"{prefix}.{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def load_config(path: str) -> HIPIEConfig:
+    """Load a YAML config with `_BASE_` inheritance into the dataclass tree."""
+    import yaml
+
+    def load_dict(p: str) -> Dict[str, Any]:
+        with open(p) as f:
+            d = yaml.safe_load(f) or {}
+        base = d.pop("_BASE_", None)
+        if base:
+            import os
+            base_d = load_dict(os.path.join(os.path.dirname(p), base))
+            base_flat = _flatten(base_d)
+            base_flat.update(_flatten(d))
+            return base_flat
+        return _flatten(d)
+
+    return apply_overrides(HIPIEConfig(), load_dict(path))
+
+
+def tiny_test_config() -> HIPIEConfig:
+    """A miniature config for unit tests: every dimension shrunk."""
+    cfg = HIPIEConfig()
+    return apply_overrides(cfg, {
+        "model.backbone.name": "resnet_tiny",
+        "model.text.hidden_size": 32,
+        "model.text.num_layers": 2,
+        "model.text.num_heads": 2,
+        "model.text.intermediate_size": 64,
+        "model.text.vocab_size": 128,
+        "model.text.max_query_len": 16,
+        "model.transformer.d_model": 32,
+        "model.transformer.nhead": 2,
+        "model.transformer.num_encoder_layers": 2,
+        "model.transformer.num_decoder_layers": 2,
+        "model.transformer.dim_feedforward": 64,
+        "model.transformer.vl_hidden_dim": 64,
+        "model.transformer.two_stage_num_proposals": 20,
+        "model.transformer.num_queries": 20,
+        "model.transformer.num_bg_queries": 4,
+        "model.maskdino.hidden_dim": 32,
+        "model.maskdino.num_queries": 12,
+        "model.maskdino.dim_feedforward": 64,
+        "model.maskdino.dec_layers": 2,
+        "model.maskdino.enc_layers": 2,
+        "model.maskdino.mask_dim": 32,
+        "model.maskdino.dn_queries": 4,
+        "model.mask_head.in_channels": 32,
+        "model.mask_head.dynamic_mask_channels": 4,
+        "model.dn.dn_number": 4,
+        "model.loss.num_points": 64,
+        "model.dtype": "float32",
+        "test.detections_per_image": 10,
+        "test.test_size": [64, 64],
+    })

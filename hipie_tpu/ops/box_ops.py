@@ -1,0 +1,81 @@
+"""Box utilities (cxcywh/xyxy conversion, IoU, generalized IoU).
+
+Replaces reference projects/HIPIE/hipie/util/box_ops.py with pure-jnp, fully
+vmappable/jittable equivalents.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def box_cxcywh_to_xyxy(b: jnp.ndarray) -> jnp.ndarray:
+    cx, cy, w, h = jnp.split(b, 4, axis=-1)
+    return jnp.concatenate(
+        [cx - 0.5 * w, cy - 0.5 * h, cx + 0.5 * w, cy + 0.5 * h], axis=-1
+    )
+
+
+def box_xyxy_to_cxcywh(b: jnp.ndarray) -> jnp.ndarray:
+    x0, y0, x1, y1 = jnp.split(b, 4, axis=-1)
+    return jnp.concatenate(
+        [(x0 + x1) / 2, (y0 + y1) / 2, x1 - x0, y1 - y0], axis=-1
+    )
+
+
+def box_area(b: jnp.ndarray) -> jnp.ndarray:
+    return (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
+
+
+def box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray):
+    """Pairwise IoU between (N, 4) and (M, 4) xyxy boxes -> ((N, M) iou, (N, M) union)."""
+    area1 = box_area(boxes1)
+    area2 = box_area(boxes2)
+    lt = jnp.maximum(boxes1[..., :, None, :2], boxes2[..., None, :, :2])
+    rb = jnp.minimum(boxes1[..., :, None, 2:], boxes2[..., None, :, 2:])
+    wh = jnp.clip(rb - lt, 0.0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area1[..., :, None] + area2[..., None, :] - inter
+    iou = inter / jnp.clip(union, 1e-6, None)
+    return iou, union
+
+
+def generalized_box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise GIoU between (N, 4) and (M, 4) xyxy boxes -> (N, M)."""
+    iou, union = box_iou(boxes1, boxes2)
+    lt = jnp.minimum(boxes1[..., :, None, :2], boxes2[..., None, :, :2])
+    rb = jnp.maximum(boxes1[..., :, None, 2:], boxes2[..., None, :, 2:])
+    wh = jnp.clip(rb - lt, 0.0, None)
+    area = wh[..., 0] * wh[..., 1]
+    return iou - (area - union) / jnp.clip(area, 1e-6, None)
+
+
+def elementwise_box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise IoU between matching rows of two (N, 4) xyxy box arrays -> (N,)."""
+    area1 = box_area(boxes1)
+    area2 = box_area(boxes2)
+    lt = jnp.maximum(boxes1[..., :2], boxes2[..., :2])
+    rb = jnp.minimum(boxes1[..., 2:], boxes2[..., 2:])
+    wh = jnp.clip(rb - lt, 0.0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / jnp.clip(area1 + area2 - inter, 1e-6, None)
+
+
+def masks_to_boxes(masks: jnp.ndarray) -> jnp.ndarray:
+    """Compute xyxy bounding boxes around (N, H, W) binary masks.
+
+    Empty masks produce a degenerate (0, 0, 0, 0) box. Static-shape equivalent of
+    reference hipie/util/box_ops.py masks_to_boxes.
+    """
+    n, h, w = masks.shape
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    m = masks.astype(jnp.float32)
+    big = 1e8
+    any_ = m.sum(axis=(1, 2)) > 0
+    x_min = jnp.min(jnp.where(m > 0, xs, big), axis=(1, 2))
+    x_max = jnp.max(jnp.where(m > 0, xs, -big), axis=(1, 2))
+    y_min = jnp.min(jnp.where(m > 0, ys, big), axis=(1, 2))
+    y_max = jnp.max(jnp.where(m > 0, ys, -big), axis=(1, 2))
+    boxes = jnp.stack([x_min, y_min, x_max + 1, y_max + 1], axis=-1)
+    return jnp.where(any_[:, None], boxes, jnp.zeros_like(boxes))

@@ -1,0 +1,199 @@
+"""Multi-scale deformable attention — the core sparse-sampling op of the framework.
+
+TPU-native reimplementation of the reference CUDA kernel
+(reference: projects/HIPIE/hipie/models/deformable_detr/ops/src/cuda/ms_deform_im2col_cuda.cuh,
+semantics of projects/HIPIE/hipie/models/deformable_detr/ops/functions/ms_deform_attn_func.py:43-63:
+bilinear grid_sample, padding_mode='zeros', align_corners=False).
+
+Design notes (TPU-first):
+  * Deformable attention is a pure gather + weighted reduce: for every query, head and
+    level, sample P points by bilinear interpolation from the flattened multi-scale value
+    map and reduce with softmaxed attention weights.  There is no matmul; the op is
+    HBM-bandwidth-bound.  On TPU we express the 4-corner bilinear sample as batched row
+    gathers (`jnp.take`) which XLA lowers to the native gather unit; all shapes are
+    static, so the whole op fuses into the surrounding jit region with no host sync.
+  * Everything is differentiable by construction (gathers have scatter-add transposes in
+    XLA), so unlike the CUDA version no hand-written backward is needed; `jax.grad`
+    produces the atomic-add-equivalent scatter automatically.
+  * Sampling is done in fp32 regardless of input dtype (the reference force-casts to
+    fp32 via `custom_fwd(cast_inputs=torch.float32)`); the output is cast back.
+  * `spatial_shapes` must be a static Python tuple of (H, W) pairs — shapes are static
+    under jit, which also removes the reference's `level_start_index` tensor plumbing.
+
+A Pallas kernel (`hipie_tpu/ops/pallas/msda_kernel.py`) provides a fused VMEM-resident
+variant for hot inference shapes; this module is the reference implementation and the
+autodiff path, and the public entry point `ms_deform_attn` dispatches between them.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Shapes = Tuple[Tuple[int, int], ...]
+
+
+def _level_sizes(spatial_shapes: Shapes) -> Tuple[int, ...]:
+    return tuple(h * w for h, w in spatial_shapes)
+
+
+def _bilinear_gather_level(
+    value_l: jnp.ndarray,      # (B, M, S_l, D) fp32
+    loc: jnp.ndarray,          # (B, Q, M, P, 2) in [0, 1], fp32
+    h: int,
+    w: int,
+) -> jnp.ndarray:
+    """Sample `value_l` at `loc` with bilinear interpolation, zero padding.
+
+    Returns (B, M, Q, P, D).
+    """
+    b, m, _, d = value_l.shape
+    q, p = loc.shape[1], loc.shape[3]
+
+    # align_corners=False: pixel-center coordinates.
+    x = loc[..., 0] * w - 0.5   # (B, Q, M, P)
+    y = loc[..., 1] * h - 0.5
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = x - x0
+    ly = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    # Corner weights (bilinear).
+    w00 = (1.0 - ly) * (1.0 - lx)
+    w01 = (1.0 - ly) * lx
+    w10 = ly * (1.0 - lx)
+    w11 = ly * lx
+
+    def corner(yi, xi, cw):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        flat = yc * w + xc                                   # (B, Q, M, P)
+        flat = jnp.transpose(flat, (0, 2, 1, 3))              # (B, M, Q, P)
+        # Gather rows: vmap over batch and head.
+        gathered = jax.vmap(jax.vmap(lambda v, i: jnp.take(v, i.reshape(-1), axis=0)))(
+            value_l, flat
+        )                                                     # (B, M, Q*P, D)
+        gathered = gathered.reshape(b, m, q, p, d)
+        cw = jnp.transpose(cw * valid.astype(cw.dtype), (0, 2, 1, 3))  # (B, M, Q, P)
+        return gathered * cw[..., None]
+
+    out = corner(y0i, x0i, w00)
+    out += corner(y0i, x0i + 1, w01)
+    out += corner(y0i + 1, x0i, w10)
+    out += corner(y0i + 1, x0i + 1, w11)
+    return out
+
+
+def ms_deform_attn_jnp(
+    value: jnp.ndarray,                 # (B, S, M, D)
+    spatial_shapes: Shapes,             # static ((H0,W0), (H1,W1), ...)
+    sampling_locations: jnp.ndarray,    # (B, Q, M, L, P, 2) in [0, 1]
+    attention_weights: jnp.ndarray,     # (B, Q, M, L, P), softmaxed over (L, P)
+) -> jnp.ndarray:
+    """Pure-XLA multi-scale deformable attention. Returns (B, Q, M*D)."""
+    orig_dtype = value.dtype
+    value = value.astype(jnp.float32)
+    sampling_locations = sampling_locations.astype(jnp.float32)
+    attention_weights = attention_weights.astype(jnp.float32)
+
+    b, s, m, d = value.shape
+    q = sampling_locations.shape[1]
+    num_levels = len(spatial_shapes)
+    sizes = _level_sizes(spatial_shapes)
+    assert sum(sizes) == s, f"spatial shapes {spatial_shapes} do not sum to S={s}"
+
+    # (B, S, M, D) -> (B, M, S, D) once, then static per-level slices.
+    value_t = jnp.transpose(value, (0, 2, 1, 3))
+
+    out = jnp.zeros((b, m, q, d), jnp.float32)
+    start = 0
+    for lid in range(num_levels):
+        h, w = spatial_shapes[lid]
+        value_l = jax.lax.slice_in_dim(value_t, start, start + sizes[lid], axis=2)
+        loc_l = sampling_locations[:, :, :, lid]          # (B, Q, M, P, 2)
+        w_l = attention_weights[:, :, :, lid]             # (B, Q, M, P)
+        sampled = _bilinear_gather_level(value_l, loc_l, h, w)   # (B, M, Q, P, D)
+        w_l = jnp.transpose(w_l, (0, 2, 1, 3))            # (B, M, Q, P)
+        out = out + jnp.sum(sampled * w_l[..., None], axis=3)
+        start += sizes[lid]
+
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, q, m * d)
+    return out.astype(orig_dtype)
+
+
+def ms_deform_attn_chunked(
+    value: jnp.ndarray,
+    spatial_shapes: Shapes,
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    chunk_size: int = 4096,
+) -> jnp.ndarray:
+    """Query-chunked variant: bounds the (B, M, Q, P, D) gather intermediates.
+
+    Used for the encoder self-attention path where Q == S can reach ~20k tokens at
+    1024^2 input; chunking keeps peak HBM for intermediates flat while XLA pipelines
+    the chunks. Q must be divisible by chunk_size or chunking is skipped.
+    """
+    q = sampling_locations.shape[1]
+    if q <= chunk_size or q % chunk_size != 0:
+        return ms_deform_attn_jnp(value, spatial_shapes, sampling_locations, attention_weights)
+
+    n_chunks = q // chunk_size
+    loc = sampling_locations.reshape(
+        (sampling_locations.shape[0], n_chunks, chunk_size) + sampling_locations.shape[2:]
+    )
+    w = attention_weights.reshape(
+        (attention_weights.shape[0], n_chunks, chunk_size) + attention_weights.shape[2:]
+    )
+
+    def body(carry, inp):
+        loc_c, w_c = inp
+        out_c = ms_deform_attn_jnp(value, spatial_shapes, loc_c, w_c)
+        return carry, out_c
+
+    # scan over chunk axis (moved to front).
+    loc_s = jnp.moveaxis(loc, 1, 0)
+    w_s = jnp.moveaxis(w, 1, 0)
+    _, outs = jax.lax.scan(body, None, (loc_s, w_s))
+    out = jnp.moveaxis(outs, 0, 1)   # (B, n_chunks, chunk, M*D)
+    return out.reshape(out.shape[0], q, out.shape[-1])
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes", "chunk_size", "use_pallas"))
+def ms_deform_attn(
+    value: jnp.ndarray,
+    spatial_shapes: Shapes,
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    *,
+    chunk_size: int = 0,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Public entry point. See `ms_deform_attn_jnp` for semantics.
+
+    Args:
+      value: (B, S, M, D) flattened multi-level feature map.
+      spatial_shapes: static tuple of (H, W) per level; sum(H*W) == S.
+      sampling_locations: (B, Q, M, L, P, 2), normalized [0, 1] coords per level.
+      attention_weights: (B, Q, M, L, P), already softmaxed over L*P.
+      chunk_size: if > 0, chunk queries to bound gather intermediates.
+      use_pallas: route to the fused Pallas kernel (forward-optimized).
+    """
+    if use_pallas:
+        from hipie_tpu.ops.pallas.msda_kernel import ms_deform_attn_pallas
+
+        return ms_deform_attn_pallas(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
+    if chunk_size:
+        return ms_deform_attn_chunked(
+            value, spatial_shapes, sampling_locations, attention_weights, chunk_size
+        )
+    return ms_deform_attn_jnp(value, spatial_shapes, sampling_locations, attention_weights)

@@ -1,0 +1,139 @@
+"""MSDeformAttn numerics: XLA formulation vs. naive loop reference + grad checks.
+
+Port of the reference test methodology (projects/HIPIE/hipie/models/deformable_detr/
+ops/test.py: forward parity in fp32/fp64 + gradcheck over channel sizes) to the
+TPU build: the naive reference here is an independent numpy loop implementing
+grid_sample(bilinear, zeros, align_corners=False) semantics from the definition.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hipie_tpu.ops.ms_deform_attn import (
+    ms_deform_attn,
+    ms_deform_attn_jnp,
+    ms_deform_attn_chunked,
+)
+
+
+def naive_msda(value, shapes, loc, weights):
+    """Straightforward loop reference (numpy, fp64)."""
+    b, s, m, d = value.shape
+    _, q, _, L, p, _ = loc.shape
+    out = np.zeros((b, q, m, d), np.float64)
+    starts = np.cumsum([0] + [h * w for h, w in shapes])
+    for bi in range(b):
+        for qi in range(q):
+            for mi in range(m):
+                acc = np.zeros(d, np.float64)
+                for li, (h, w) in enumerate(shapes):
+                    vmap_l = value[bi, starts[li]:starts[li + 1], mi].reshape(h, w, d)
+                    for pi in range(p):
+                        x = loc[bi, qi, mi, li, pi, 0] * w - 0.5
+                        y = loc[bi, qi, mi, li, pi, 1] * h - 0.5
+                        x0, y0 = int(np.floor(x)), int(np.floor(y))
+                        lx, ly = x - x0, y - y0
+                        val = np.zeros(d, np.float64)
+                        for (yy, xx, cw) in [
+                            (y0, x0, (1 - ly) * (1 - lx)),
+                            (y0, x0 + 1, (1 - ly) * lx),
+                            (y0 + 1, x0, ly * (1 - lx)),
+                            (y0 + 1, x0 + 1, ly * lx),
+                        ]:
+                            if 0 <= yy < h and 0 <= xx < w:
+                                val += cw * vmap_l[yy, xx]
+                        acc += weights[bi, qi, mi, li, pi] * val
+                out[bi, qi, mi] = acc
+    return out.reshape(b, q, m * d)
+
+
+def make_inputs(rng, b=2, q=7, m=2, d=8, shapes=((6, 4), (3, 2)), p=3):
+    s = sum(h * w for h, w in shapes)
+    L = len(shapes)
+    value = rng.standard_normal((b, s, m, d)).astype(np.float32)
+    # include points outside [0,1] to exercise zero padding
+    loc = (rng.uniform(-0.2, 1.2, (b, q, m, L, p, 2))).astype(np.float32)
+    w = rng.uniform(0.0, 1.0, (b, q, m, L, p)).astype(np.float32)
+    w = w / w.sum(axis=(-1, -2), keepdims=True)
+    return value, shapes, loc, w
+
+
+def test_forward_matches_naive():
+    rng = np.random.default_rng(0)
+    value, shapes, loc, w = make_inputs(rng)
+    got = np.asarray(ms_deform_attn_jnp(jnp.array(value), shapes, jnp.array(loc), jnp.array(w)))
+    want = naive_msda(value, shapes, loc, w)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("d", [8, 32, 33])
+def test_forward_channels(d):
+    rng = np.random.default_rng(d)
+    value, shapes, loc, w = make_inputs(rng, d=d)
+    got = np.asarray(ms_deform_attn(jnp.array(value), shapes, jnp.array(loc), jnp.array(w)))
+    want = naive_msda(value, shapes, loc, w)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_matches_unchunked():
+    rng = np.random.default_rng(3)
+    value, shapes, loc, w = make_inputs(rng, q=16)
+    a = ms_deform_attn_jnp(jnp.array(value), shapes, jnp.array(loc), jnp.array(w))
+    b_ = ms_deform_attn_chunked(jnp.array(value), shapes, jnp.array(loc), jnp.array(w), chunk_size=4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-6)
+
+
+def test_gradients_numeric():
+    """Autodiff grads vs central finite differences on a scalar loss."""
+    rng = np.random.default_rng(1)
+    value, shapes, loc, w = make_inputs(rng, b=1, q=3, m=1, d=4, shapes=((4, 3), (2, 2)), p=2)
+
+    @jax.jit
+    def loss(value, loc, w):
+        out = ms_deform_attn_jnp(jnp.array(value), shapes, jnp.array(loc), jnp.array(w))
+        return jnp.sum(out * out)
+
+    g_val, g_loc, g_w = jax.grad(loss, argnums=(0, 1, 2))(value, loc, w)
+
+    eps = 1e-3
+    for arr, g, name in [(value, g_val, "value"), (w, g_w, "weights")]:
+        flat = arr.reshape(-1)
+        idxs = rng.choice(flat.size, size=min(10, flat.size), replace=False)
+        for i in idxs:
+            fp = flat.copy(); fp[i] += eps
+            fm = flat.copy(); fm[i] -= eps
+            args_p = {name: fp.reshape(arr.shape)}
+            args_m = {name: fm.reshape(arr.shape)}
+            def call(a):
+                v = a.get("value", value); l = a.get("loc", loc); ww = a.get("weights", w)
+                return float(loss(v, l, ww))
+            fd = (call(args_p) - call(args_m)) / (2 * eps)
+            np.testing.assert_allclose(np.asarray(g).reshape(-1)[i], fd, rtol=5e-2, atol=1e-2)
+
+    # sampling-location grads (skip points near integer grid lines where the
+    # bilinear kernel is non-differentiable)
+    flat = loc.reshape(-1)
+    g_flat = np.asarray(g_loc).reshape(-1)
+    for i in rng.choice(flat.size, size=8, replace=False):
+        fp = flat.copy(); fp[i] += eps
+        fm = flat.copy(); fm[i] -= eps
+        lp = float(loss(value, fp.reshape(loc.shape), w))
+        lm = float(loss(value, fm.reshape(loc.shape), w))
+        fd = (lp - lm) / (2 * eps)
+        np.testing.assert_allclose(g_flat[i], fd, rtol=5e-2, atol=5e-2)
+
+
+def test_jit_and_dtype():
+    rng = np.random.default_rng(2)
+    value, shapes, loc, w = make_inputs(rng)
+    out_bf16 = ms_deform_attn(
+        jnp.array(value, jnp.bfloat16), shapes, jnp.array(loc), jnp.array(w)
+    )
+    assert out_bf16.dtype == jnp.bfloat16
+    out_f32 = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc), jnp.array(w))
+    # bf16 in, fp32 sampling inside: should be close to fp32 result at bf16 tolerance
+    np.testing.assert_allclose(
+        np.asarray(out_bf16, np.float32), np.asarray(out_f32), rtol=3e-2, atol=3e-2
+    )

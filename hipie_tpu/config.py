@@ -184,6 +184,8 @@ class TestConfig:
     max_pool_tokens: bool = False               # TEST.MAX_POOL token->class pooling
     bg_cls_agnostic: bool = False
     use_bg_for_pano: bool = True
+    transform_eval: bool = True                 # MODEL.PANO_TRANSFORM_EVAL
+    pano_temperature: float = 0.06              # MODEL.PANO_TEMPERATURE
     test_size: Tuple[int, int] = (800, 1216)    # static padded eval bucket (H, W)
 
 

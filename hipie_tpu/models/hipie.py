@@ -1,0 +1,181 @@
+"""HIPIE meta-architecture: text encoder + detector + fused inference.
+
+Behavioral parity target: reference hipie/hipie_img.py (HIPIE_IMG). The torch
+version's forward() dispatches python-side between train/eval and loops over
+images; here the whole forward (normalize -> BERT -> detector -> postprocess) is
+one jittable function with static task/shape arguments, and per-image work is
+vmapped/batched.
+
+Host/device split:
+  * host: tokenization (WordPiece), prompt/positive-map construction
+    (hipie_tpu/data/prompts.py), image resize to a static bucket, final rescale of
+    masks/ids to the original resolution.
+  * device: everything else, including NMS, top-k and panoptic fusion.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hipie_tpu.config import HIPIEConfig, ModelConfig, TestConfig
+from hipie_tpu.models.detector import HIPIEDetector
+from hipie_tpu.models.postprocess import (
+    ClassMaps,
+    fg_instance_inference,
+    grounding_to_od_logits,
+    panoptic_inference,
+    semantic_inference,
+    transform_probs,
+    upsample_mask_logits,
+)
+from hipie_tpu.models.text.bert import BertModel, parallel_det_block_mask
+
+
+class HIPIEModel(nn.Module):
+    cfg: ModelConfig
+    parallel_det: bool = False
+    sep_token_id: int = 1012       # '.' in bert-base-uncased
+    cls_token_id: int = 101
+    pad_token_id: int = 0
+
+    def setup(self):
+        c = self.cfg
+        dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        t = c.text
+        self.text_encoder = BertModel(
+            vocab_size=t.vocab_size, hidden_size=t.hidden_size,
+            num_layers=t.num_layers, num_heads=t.num_heads,
+            intermediate_size=t.intermediate_size,
+            max_position_embeddings=t.max_position_embeddings,
+            remat=t.remat, dtype=dtype, name="text_encoder")
+        self.detector = HIPIEDetector(c, name="detr")
+
+    def normalize(self, images: jnp.ndarray) -> jnp.ndarray:
+        mean = jnp.array(self.cfg.pixel_mean, jnp.float32)
+        std = jnp.array(self.cfg.pixel_std, jnp.float32)
+        return (images.astype(jnp.float32) - mean) / std
+
+    def encode_text(self, input_ids, attn_mask, task: str = "detection"):
+        block_mask = None
+        if self.parallel_det and task == "detection":
+            block_mask = parallel_det_block_mask(
+                input_ids, self.sep_token_id, self.cls_token_id, self.pad_token_id)
+        hidden = self.text_encoder(input_ids, attn_mask, block_mask)
+        return hidden
+
+    def __call__(
+        self,
+        images: jnp.ndarray,          # (B, H, W, 3) raw RGB floats
+        pad_mask: jnp.ndarray,        # (B, H, W) True = pad
+        input_ids: jnp.ndarray,       # (B, L)
+        lang_attn_mask: jnp.ndarray,  # (B, L)
+        image_sizes: jnp.ndarray,     # (B, 2) valid (h, w)
+        task: str = "detection",
+        train: bool = False,
+        dn_tgt=None, dn_refs_unact=None, self_attn_mask=None,
+        bg_queries_lang=None,
+        maskdino_dn_tgt=None, maskdino_dn_refs=None, maskdino_attn_mask=None,
+    ) -> Dict[str, Any]:
+        x = self.normalize(images)
+        x = jnp.where(pad_mask[..., None], 0.0, x)
+        lang_hidden = self.encode_text(input_ids, lang_attn_mask, task)
+        out = self.detector(
+            x, pad_mask, lang_hidden, lang_attn_mask, image_sizes, task=task,
+            dn_tgt=dn_tgt, dn_refs_unact=dn_refs_unact,
+            self_attn_mask=self_attn_mask, bg_queries_lang=bg_queries_lang,
+            maskdino_dn_tgt=maskdino_dn_tgt, maskdino_dn_refs=maskdino_dn_refs,
+            maskdino_attn_mask=maskdino_attn_mask, train=train)
+        return out
+
+
+class InferenceResult(NamedTuple):
+    """Per-image static-shape device outputs; host converts to evaluator format."""
+
+    scores: jnp.ndarray          # (K,)
+    classes: jnp.ndarray         # (K,)
+    boxes: jnp.ndarray           # (K, 4) xyxy normalized to the PADDED canvas
+    mask_logits: jnp.ndarray     # (K, H4, W4) stride-4 instance mask logits
+    sem_seg: Optional[jnp.ndarray]       # (C, H4, W4) semantic probabilities
+    panoptic: Optional[jnp.ndarray]      # (H4, W4) int32 segment ids
+    segment_valid: Optional[jnp.ndarray]
+    segment_classes: Optional[jnp.ndarray]
+    segment_isthing: Optional[jnp.ndarray]
+
+
+def hipie_inference(
+    outputs: Dict[str, Any],
+    maps: ClassMaps,
+    test_cfg: TestConfig,
+    model_cfg: ModelConfig,
+    image_index: int = 0,
+    task: str = "detection",
+    has_thing: bool = True,
+    pad_mask_s4: Optional[jnp.ndarray] = None,   # (H4, W4) True = pad
+) -> InferenceResult:
+    """Fuse fg/bg branches into instance/semantic/panoptic results for one image.
+
+    reference: hipie_img.py inference() (:537-766) with defaults
+    use_bg_for_pano=True (panoptic/semantic entirely from the MaskDINO branch),
+    transform_eval=True (softmax(sigmoid/T)), ota NMS 0.7, topk 100.
+    """
+    i = image_index
+    n_bg = model_cfg.transformer.num_bg_queries
+    fg_logits = outputs["pred_logits"][i][n_bg:]
+    fg_boxes = outputs["pred_boxes"][i][n_bg:]
+    fg_masks = outputs["pred_masks"][i][n_bg:]
+    iou = outputs.get("pred_boxious")
+    iou_i = iou[i][n_bg:] if iou is not None else None
+
+    max_det = 100 if task == "detection" else 1
+    inst = fg_instance_inference(
+        fg_logits, fg_boxes, fg_masks, iou_i, maps,
+        max_detections=max_det, nms_thresh=test_cfg.nms_thresh,
+        has_thing=has_thing, max_pool=test_cfg.max_pool_tokens)
+
+    sem = pano = None
+    seg_valid = seg_cls = seg_isthing = None
+    if task == "detection":
+        md = outputs.get("maskdino")
+        if md is not None:
+            bg_token_logits = md["pred_logits"][i]
+            bg_mask_logits = md["pred_masks"][i]
+        else:
+            bg_token_logits = outputs["pred_logits"][i][:n_bg]
+            bg_mask_logits = outputs["pred_masks"][i][:n_bg]
+        mode = None if (test_cfg.use_bg_for_pano or test_cfg.bg_cls_agnostic) else "BG"
+        bg_cls = grounding_to_od_logits(bg_token_logits, maps, mode=mode,
+                                        max_pool=test_cfg.max_pool_tokens)
+        if test_cfg.use_bg_for_pano:
+            all_cls, all_masks = bg_cls, bg_mask_logits
+            drop = None
+        else:
+            all_cls = jnp.concatenate([
+                grounding_to_od_logits(fg_logits, maps, mode="FG",
+                                       max_pool=test_cfg.max_pool_tokens), bg_cls])
+            all_masks = jnp.concatenate([fg_masks, bg_mask_logits])
+            drop = jnp.concatenate(
+                [~inst.keep_fg, jnp.zeros(bg_cls.shape[0], bool)])
+        prob = transform_probs(all_cls, temperature=test_cfg.pano_temperature,
+                               transform_eval=test_cfg.transform_eval)
+        if drop is not None:
+            prob = jnp.where(drop[:, None], 0.0, prob)
+            all_masks = jnp.where(drop[:, None, None], -1e4, all_masks)
+        if pad_mask_s4 is not None:
+            all_masks = jnp.where(pad_mask_s4[None], -1e4, all_masks)
+        sem = semantic_inference(prob, all_masks)
+        p = panoptic_inference(prob, all_masks, maps.is_thing,
+                               test_cfg.panoptic_object_mask_thresh,
+                               test_cfg.panoptic_overlap_thresh)
+        pano = p.panoptic_seg
+        seg_valid, seg_cls, seg_isthing = (p.segment_valid, p.segment_classes,
+                                           p.segment_isthing)
+
+    return InferenceResult(
+        scores=inst.scores, classes=inst.classes, boxes=inst.boxes,
+        mask_logits=inst.mask_logits, sem_seg=sem, panoptic=pano,
+        segment_valid=seg_valid, segment_classes=seg_cls,
+        segment_isthing=seg_isthing)

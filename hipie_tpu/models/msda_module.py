@@ -1,0 +1,90 @@
+"""MSDeformAttn as a flax module: projections + sampling-location math around the
+core gather op (hipie_tpu/ops/ms_deform_attn.py).
+
+Behavioral parity target: reference
+hipie/models/deformable_detr/ops/modules/ms_deform_attn.py:30-125 — value projection
+with pad masking, per-query sampling offsets and softmaxed attention weights,
+reference-point handling for both 2d points and 4d boxes, and the radial grid
+initialization of the offset bias.
+
+TPU-first: spatial shapes are static Python tuples (no level_start_index tensor);
+the sampling core is the pure-gather XLA formulation (differentiable by
+construction) or the fused Pallas kernel for hot inference shapes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hipie_tpu.ops.ms_deform_attn import ms_deform_attn_jnp
+
+Shapes = Tuple[Tuple[int, int], ...]
+
+
+def _offset_bias_init(n_heads: int, n_levels: int, n_points: int):
+    """Radial grid bias: head h points at angle 2*pi*h/H, scaled by point index."""
+    def init(key, shape, dtype=jnp.float32):
+        thetas = jnp.arange(n_heads, dtype=jnp.float32) * (2.0 * math.pi / n_heads)
+        grid = jnp.stack([jnp.cos(thetas), jnp.sin(thetas)], axis=-1)   # (H, 2)
+        grid = grid / jnp.max(jnp.abs(grid), axis=-1, keepdims=True)
+        grid = jnp.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
+        scale = jnp.arange(1, n_points + 1, dtype=jnp.float32)[None, None, :, None]
+        return (grid * scale).reshape(-1).astype(dtype)
+    return init
+
+
+class MSDeformAttn(nn.Module):
+    d_model: int = 256
+    n_levels: int = 4
+    n_heads: int = 8
+    n_points: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,              # (B, Q, C)
+        reference_points: jnp.ndarray,   # (B, Q, L, 2) or (B, Q, L, 4), in [0, 1]
+        value: jnp.ndarray,              # (B, S, C) flattened multi-level features
+        spatial_shapes: Shapes,          # static ((H, W), ...) per level
+        padding_mask: Optional[jnp.ndarray] = None,  # (B, S) True = pad
+    ) -> jnp.ndarray:
+        b, q, c = query.shape
+        s = value.shape[1]
+        m, L, p = self.n_heads, self.n_levels, self.n_points
+
+        v = nn.Dense(self.d_model, dtype=self.dtype, name="value_proj")(value)
+        if padding_mask is not None:
+            v = jnp.where(padding_mask[..., None], 0.0, v)
+        v = v.reshape(b, s, m, self.d_model // m)
+
+        offsets = nn.Dense(
+            m * L * p * 2, dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=_offset_bias_init(m, L, p),
+            name="sampling_offsets",
+        )(query).reshape(b, q, m, L, p, 2).astype(jnp.float32)
+        weights = nn.Dense(
+            m * L * p, dtype=self.dtype,
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            name="attention_weights",
+        )(query).reshape(b, q, m, L * p)
+        weights = jax.nn.softmax(weights.astype(jnp.float32), axis=-1).reshape(b, q, m, L, p)
+
+        ref = reference_points.astype(jnp.float32)
+        if ref.shape[-1] == 2:
+            normalizer = jnp.array(
+                [[w, h] for h, w in spatial_shapes], dtype=jnp.float32)  # (L, 2)
+            loc = ref[:, :, None, :, None, :] + offsets / normalizer[None, None, None, :, None, :]
+        else:
+            loc = (ref[:, :, None, :, None, :2]
+                   + offsets / p * ref[:, :, None, :, None, 2:] * 0.5)
+
+        out = ms_deform_attn_jnp(v, spatial_shapes, loc, weights)     # (B, Q, C) fp32
+        out = nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out.astype(self.dtype))
+        return out

@@ -1,0 +1,297 @@
+"""Vision-language deformable transformer (DINO variant): encoder with early fusion,
+two-stage proposal selection, background/language queries, denoising-query support,
+and a DINO decoder with iterative box refinement + look-forward-twice.
+
+Behavioral parity target: reference
+hipie/models/deformable_detr/deformable_transformer_dino.py (DeformableTransformerVLDINO)
+— key semantics reproduced:
+  * encoder: per layer [VLFuse bi-attention -> MSDeformAttn self-attn layer ->
+    optional BERT text layer] (:302-351); grid-center reference points scaled by
+    valid ratios (:312-324).
+  * two-stage: gen_encoder_output_proposals (:138-168) builds per-position proposal
+    logits (grid centers, wh = 0.05 * 2^level), invalid/padded positions pushed to
+    +inf coords and zeroed memory; topk over the FIRST text-token logit of the
+    encoder VL_Align head (:225-229); mixed selection: learned tgt_embed content
+    vectors + detached topk boxes as references (:232-234).
+  * query layout [dn | bg_lang | bg | fg] (:236-256) with learned bg queries
+    (tgt_embed_bg + bg_query_refs) and language-derived bg queries (zero refs).
+  * decoder layers: self-attn (with DN block mask) -> MSDeformAttn cross-attn ->
+    FFN (:397-452); sine embedding of the current reference box -> ref_point_head
+    MLP -> query_pos (:485-490); per-layer box refinement with detached reference
+    chain and look-forward-twice output references (:494-516).
+  * per-layer box outputs are computed INSIDE the decoder (same bbox-head weights
+    refine and predict, as in the reference where decoder.bbox_embed is the shared
+    list; detector-side head application deformable_detr.py DeformableDETRDINO).
+
+TPU-first design:
+  * static `spatial_shapes` tuple, fixed query counts — no dynamic shapes anywhere;
+    the whole forward is one jit region.
+  * everything runs in the configured compute dtype (bf16) except attention logits,
+    topk scores, box math and sampling locations (fp32).
+  * `remat` wraps encoder/decoder layers in jax.checkpoint.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hipie_tpu.config import TransformerConfig
+from hipie_tpu.layers import MLP, MultiHeadAttention
+from hipie_tpu.models.fusion import BiAttentionBlock
+from hipie_tpu.models.heads import FeatureResizer, StillClassifier, VLAlign, agg_lang_feat
+from hipie_tpu.models.msda_module import MSDeformAttn
+from hipie_tpu.models.text.bert import BertLayer
+from hipie_tpu.utils.misc import inverse_sigmoid, sine_position_embedding_1d
+
+Shapes = Tuple[Tuple[int, int], ...]
+
+
+def encoder_reference_points(spatial_shapes: Shapes, valid_ratios: jnp.ndarray) -> jnp.ndarray:
+    """Normalized grid-center reference points for every encoder token.
+
+    valid_ratios: (B, L, 2) (ratio_w, ratio_h). Returns (B, S, L, 2).
+    """
+    points = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        ry = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None]
+        rx = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :]
+        ry = jnp.broadcast_to(ry, (h, w)).reshape(-1)
+        rx = jnp.broadcast_to(rx, (h, w)).reshape(-1)
+        ry = ry[None] / (valid_ratios[:, None, lvl, 1] * h)
+        rx = rx[None] / (valid_ratios[:, None, lvl, 0] * w)
+        points.append(jnp.stack([rx, ry], axis=-1))          # (B, h*w, 2)
+    ref = jnp.concatenate(points, axis=1)                     # (B, S, 2)
+    return ref[:, :, None, :] * valid_ratios[:, None, :, :]
+
+
+class DeformableEncoderLayer(nn.Module):
+    cfg: TransformerConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, pos, reference_points, spatial_shapes, padding_mask):
+        c = self.cfg
+        src2 = MSDeformAttn(c.d_model, c.num_feature_levels, c.nhead, c.enc_n_points,
+                            dtype=self.dtype, name="self_attn")(
+            src + pos, reference_points, src, spatial_shapes, padding_mask)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src + src2)
+        y = nn.Dense(c.dim_feedforward, dtype=self.dtype, name="linear1")(src)
+        y = nn.relu(y)
+        y = nn.Dense(c.d_model, dtype=self.dtype, name="linear2")(y)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src + y)
+
+
+class DeformableDecoderLayer(nn.Module):
+    cfg: TransformerConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, query_pos, reference_points, src, spatial_shapes,
+                 src_padding_mask, self_attn_mask):
+        c = self.cfg
+        q = tgt + query_pos
+        tgt2 = MultiHeadAttention(c.nhead, dtype=self.dtype, name="self_attn")(
+            q, q, tgt, attn_mask=self_attn_mask)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt + tgt2)
+        tgt2 = MSDeformAttn(c.d_model, c.num_feature_levels, c.nhead, c.dec_n_points,
+                            dtype=self.dtype, name="cross_attn")(
+            tgt + query_pos, reference_points, src, spatial_shapes, src_padding_mask)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt + tgt2)
+        y = nn.Dense(c.dim_feedforward, dtype=self.dtype, name="linear1")(tgt)
+        y = nn.relu(y)
+        y = nn.Dense(c.d_model, dtype=self.dtype, name="linear2")(y)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt + y)
+
+
+class VLDeformableTransformer(nn.Module):
+    """Full encoder + two-stage selection + decoder. See module docstring."""
+
+    cfg: TransformerConfig
+    lang_dim: int = 768
+    still_cls_for_encoder: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        srcs: Sequence[jnp.ndarray],          # per level (B, H, W, C)
+        masks: Sequence[jnp.ndarray],         # per level (B, H, W) True = pad
+        pos_embeds: Sequence[jnp.ndarray],    # per level (B, H, W, C)
+        lang_hidden: jnp.ndarray,             # (B, L, lang_dim)
+        lang_masks: jnp.ndarray,              # (B, L) 1 = valid
+        task: str = "detection",
+        dn_tgt: Optional[jnp.ndarray] = None,         # (B, n_dn, C)
+        dn_refs_unact: Optional[jnp.ndarray] = None,  # (B, n_dn, 4) pre-sigmoid
+        self_attn_mask: Optional[jnp.ndarray] = None, # (Q_total, Q_total) True=block
+        bg_queries_lang: Optional[jnp.ndarray] = None,  # (K, C)
+    ) -> Dict[str, jnp.ndarray]:
+        c = self.cfg
+        b = srcs[0].shape[0]
+
+        # ---- flatten levels + level embed -------------------------------------
+        spatial_shapes: Shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
+        level_embed = self.param("level_embed", nn.initializers.normal(1.0),
+                                 (c.num_feature_levels, c.d_model))
+        src_flat, mask_flat, pos_flat, valid_ratios = [], [], [], []
+        for lvl, (src, mask, pos) in enumerate(zip(srcs, masks, pos_embeds)):
+            h, w = src.shape[1], src.shape[2]
+            src_flat.append(src.reshape(b, h * w, -1))
+            mask_flat.append(mask.reshape(b, h * w))
+            pos_flat.append(pos.reshape(b, h * w, -1) + level_embed[lvl].astype(self.dtype))
+            not_mask = (~mask).astype(jnp.float32)
+            valid_ratios.append(jnp.stack(
+                [not_mask[:, 0, :].sum(1) / w, not_mask[:, :, 0].sum(1) / h], axis=-1))
+        src_flat = jnp.concatenate(src_flat, axis=1).astype(self.dtype)
+        mask_flat = jnp.concatenate(mask_flat, axis=1)
+        pos_flat = jnp.concatenate(pos_flat, axis=1).astype(self.dtype)
+        valid_ratios = jnp.stack(valid_ratios, axis=1)        # (B, L, 2)
+
+        # ---- encoder: VLFuse -> deformable layer [-> bert layer] --------------
+        enc_ref = encoder_reference_points(spatial_shapes, valid_ratios)
+        memory = src_flat
+        l_hidden = lang_hidden.astype(self.dtype)
+        enc_layer_cls = DeformableEncoderLayer
+        if c.remat:
+            enc_layer_cls = nn.remat(DeformableEncoderLayer)
+        for i in range(c.num_encoder_layers):
+            if c.use_vl_fusion:
+                memory, l_hidden = BiAttentionBlock(
+                    v_dim=c.d_model, l_dim=self.lang_dim, embed_dim=c.vl_hidden_dim,
+                    num_heads=c.vl_nheads,
+                    init_gamma=1.0 / c.num_encoder_layers,
+                    dtype=self.dtype, name=f"vl_layers_{i}",
+                )(memory, l_hidden, lang_masks)
+            memory = enc_layer_cls(c, dtype=self.dtype, name=f"enc_layers_{i}")(
+                memory, pos_flat, enc_ref, spatial_shapes, mask_flat)
+            if c.use_extra_bert_layers:
+                neg = jnp.float32(-1e9)
+                bias = jnp.where(lang_masks[:, None, None, :] > 0, 0.0, neg)
+                l_hidden = BertLayer(self.lang_dim, 12, 3072, dtype=self.dtype,
+                                     name=f"lang_layers_{i}")(l_hidden, bias)
+
+        # ---- pooled language feature for grounding ----------------------------
+        lang_pool = agg_lang_feat(l_hidden, lang_masks)                  # (B, lang_dim)
+        ref_feat = FeatureResizer(c.d_model, dtype=self.dtype, name="resizer")(lang_pool)
+
+        # ---- two-stage proposal generation -------------------------------------
+        grid_props = []
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            gy = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None]
+            gx = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :]
+            gy = jnp.broadcast_to(gy, (h, w))
+            gx = jnp.broadcast_to(gx, (h, w))
+            grid = jnp.stack([gx, gy], axis=-1).reshape(-1, 2)           # (hw, 2)
+            valid_wh = valid_ratios[:, lvl] * jnp.array([w, h], jnp.float32)
+            grid = grid[None] / valid_wh[:, None, :]
+            wh = jnp.full_like(grid, 0.05 * (2.0 ** lvl))
+            grid_props.append(jnp.concatenate([grid, wh], axis=-1))
+        proposals = jnp.concatenate(grid_props, axis=1)                  # (B, S, 4)
+        prop_valid = jnp.all((proposals > 0.01) & (proposals < 0.99), axis=-1)
+        prop_valid = prop_valid & ~mask_flat
+        safe = jnp.clip(proposals, 1e-6, 1.0 - 1e-6)
+        proposals_unact = jnp.where(prop_valid[..., None],
+                                    jnp.log(safe / (1.0 - safe)), 1e9)
+        out_memory = jnp.where(prop_valid[..., None], memory, 0.0)
+        out_memory = nn.Dense(c.d_model, dtype=self.dtype, name="enc_output")(out_memory)
+        out_memory = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                  name="enc_output_norm")(out_memory)
+
+        # encoder heads (index num_decoder_layers in the reference's cloned lists)
+        if self.still_cls_for_encoder:
+            enc_class = StillClassifier(dtype=self.dtype, name="enc_class_embed")(out_memory)
+        else:
+            enc_class = VLAlign(self.lang_dim, c.d_model, dtype=self.dtype,
+                                name="enc_class_embed")(out_memory, lang_pool[:, None, :])
+        enc_delta = MLP(c.d_model, 4, 3, dtype=self.dtype,
+                        name="enc_bbox_embed")(out_memory).astype(jnp.float32)
+        enc_coord_unact = enc_delta + proposals_unact
+
+        topk = c.two_stage_num_proposals
+        scores = jnp.where(prop_valid, enc_class[..., 0], jnp.finfo(jnp.float32).min)
+        _, topk_idx = jax.lax.top_k(scores, topk)                         # (B, topk)
+        topk_coords_unact = jnp.take_along_axis(
+            enc_coord_unact, topk_idx[..., None], axis=1)
+        fg_refs = jax.nn.sigmoid(jax.lax.stop_gradient(topk_coords_unact))
+
+        # ---- assemble query set [dn | bg_lang | bg | fg] -----------------------
+        tgt_embed = self.param("tgt_embed", nn.initializers.normal(1.0),
+                               (c.num_queries, c.d_model))
+        tgt = jnp.broadcast_to(tgt_embed[None].astype(self.dtype),
+                               (b, c.num_queries, c.d_model))
+        refs = fg_refs
+        if c.num_bg_queries > 0:
+            bg_embed = self.param("tgt_embed_bg", nn.initializers.normal(1.0),
+                                  (c.num_bg_queries, c.d_model))
+            bg_refs = self.param("bg_query_refs", nn.initializers.normal(1.0),
+                                 (c.num_bg_queries, 4))
+            tgt = jnp.concatenate(
+                [jnp.broadcast_to(bg_embed[None].astype(self.dtype),
+                                  (b, c.num_bg_queries, c.d_model)), tgt], axis=1)
+            refs = jnp.concatenate(
+                [jnp.broadcast_to(bg_refs[None].astype(jnp.float32),
+                                  (b, c.num_bg_queries, 4)), refs], axis=1)
+        if bg_queries_lang is not None:
+            k = bg_queries_lang.shape[0]
+            tgt = jnp.concatenate(
+                [jnp.broadcast_to(bg_queries_lang[None].astype(self.dtype),
+                                  (b, k, c.d_model)), tgt], axis=1)
+            refs = jnp.concatenate([jnp.zeros((b, k, 4), jnp.float32), refs], axis=1)
+        if dn_tgt is not None:
+            tgt = jnp.concatenate([dn_tgt.astype(self.dtype), tgt], axis=1)
+            refs = jnp.concatenate(
+                [jax.nn.sigmoid(dn_refs_unact.astype(jnp.float32)), refs], axis=1)
+
+        # decoupled-tgt: HIPIE configs use STILL_TGT_FOR_BOTH=True, so the learned
+        # content queries drive both tasks; pooled language still enters through the
+        # two-stage scores and bg_queries_lang (reference :258-275).
+        tgt = tgt + 0.0 * ref_feat[:, None, :]
+        init_reference = refs
+
+        # ---- decoder with iterative refinement ---------------------------------
+        dec_layer_cls = DeformableDecoderLayer
+        if c.remat:
+            dec_layer_cls = nn.remat(DeformableDecoderLayer)
+        ref_point_head = MLP(c.d_model, c.d_model, 2, dtype=self.dtype,
+                             name="ref_point_head")
+        hs_list, coords_list, refs_list = [], [], []
+        output = tgt
+        reference_points = refs
+        for lid in range(c.num_decoder_layers):
+            ref_input = reference_points[:, :, None, :] * jnp.concatenate(
+                [valid_ratios, valid_ratios], axis=-1)[:, None, :, :]
+            query_sine = sine_position_embedding_1d(
+                ref_input[:, :, 0, :], num_feats=c.d_model // 2)
+            query_pos = ref_point_head(query_sine.astype(self.dtype))
+            output = dec_layer_cls(c, dtype=self.dtype, name=f"dec_layers_{lid}")(
+                output, query_pos, ref_input, memory, spatial_shapes,
+                mask_flat, self_attn_mask)
+            delta = MLP(c.d_model, 4, 3, dtype=self.dtype,
+                        name=f"bbox_embed_{lid}")(output).astype(jnp.float32)
+            new_ref = jax.nn.sigmoid(delta + inverse_sigmoid(reference_points))
+            reference_points = jax.lax.stop_gradient(new_ref)
+            hs_list.append(output)
+            refs_list.append(new_ref if c.look_forward_twice else reference_points)
+            # per-layer box output: same bbox-head weights applied to the pre-layer
+            # reference (detector-side application in the reference).
+            base = init_reference if lid == 0 else refs_list[lid - 1]
+            coords_list.append(jax.nn.sigmoid(delta + inverse_sigmoid(base)))
+
+        return {
+            "hs": jnp.stack(hs_list),                       # (layers, B, Q, C)
+            "outputs_coord": jnp.stack(coords_list),        # (layers, B, Q, 4) fp32
+            "inter_references": jnp.stack(refs_list),
+            "init_reference": init_reference,
+            "memory": memory,                               # (B, S, C)
+            "memory_mask": mask_flat,                       # (B, S)
+            "spatial_shapes": spatial_shapes,
+            "valid_ratios": valid_ratios,
+            "enc_outputs_class": enc_class,                 # (B, S, L|1) fp32
+            "enc_outputs_coord_unact": enc_coord_unact,     # (B, S, 4) fp32
+            "enc_memory": out_memory,
+            "lang_hidden": l_hidden,                        # fused text features
+            "lang_pool": lang_pool,
+        }

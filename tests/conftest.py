@@ -1,13 +1,21 @@
-"""Test configuration: force an 8-device virtual CPU mesh before jax import.
+"""Test configuration: force an 8-device virtual CPU mesh before any jax use.
 
 This is the JAX-native answer to "multi-node testing without a cluster"
 (SURVEY.md §4): every sharding/pjit test runs against 8 virtual CPU devices.
+
+NOTE: this environment exports JAX_PLATFORMS=axon (remote TPU tunnel) and the
+plugin wins over a re-exported env var, so we must force the platform through
+jax.config, not os.environ.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

@@ -130,7 +130,7 @@ def hipie_inference(
     iou = outputs.get("pred_boxious")
     iou_i = iou[i][n_bg:] if iou is not None else None
 
-    max_det = 100 if task == "detection" else 1
+    max_det = test_cfg.detections_per_image if task == "detection" else 1
     inst = fg_instance_inference(
         fg_logits, fg_boxes, fg_masks, iou_i, maps,
         max_detections=max_det, nms_thresh=test_cfg.nms_thresh,

@@ -1,0 +1,199 @@
+"""PyTorch-checkpoint -> flax-params converter.
+
+The single most important parity tool (SURVEY.md §7.1): maps reference
+state_dicts (HIPIE .pth, HF bert-base-uncased, torchvision/d2 ResNet) onto the
+hipie_tpu parameter tree. All conversions are pure name/layout maps:
+
+  * torch Linear weight (out, in)        -> flax Dense kernel (in, out)           [T]
+  * torch Conv2d weight (out, in, kh, kw)-> flax Conv kernel (kh, kw, in, out)
+  * torch ConvTranspose2d (in, out, kh, kw) -> flax ConvTranspose (kh, kw, in, out)
+  * torch MultiheadAttention in_proj (3C, C) -> split q/k/v DenseGeneral kernels
+  * BatchNorm/LayerNorm/Embedding copy through (embedding (V, C) unchanged).
+
+Conversion entry points return plain nested dicts matching module param trees;
+`flax.core.freeze` is applied by callers if needed.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def t_linear(sd: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    out = {"kernel": np.asarray(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def t_dense_general(sd: Dict[str, Any], prefix: str, heads: int) -> Dict[str, np.ndarray]:
+    """torch Linear (H*D, C) -> DenseGeneral kernel (C, H, D)."""
+    w = np.asarray(sd[f"{prefix}.weight"])           # (H*D, C)
+    hd = w.shape[0] // heads
+    out = {"kernel": w.T.reshape(w.shape[1], heads, hd)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"]).reshape(heads, hd)
+    return out
+
+
+def t_dense_general_out(sd: Dict[str, Any], prefix: str, heads: int) -> Dict[str, np.ndarray]:
+    """torch Linear (C, H*D) out-proj -> DenseGeneral axis=(-2,-1) kernel (H, D, C)."""
+    w = np.asarray(sd[f"{prefix}.weight"])           # (C, H*D)
+    hd = w.shape[1] // heads
+    out = {"kernel": w.T.reshape(heads, hd, w.shape[0])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def t_conv(sd: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    out = {"kernel": np.transpose(np.asarray(sd[f"{prefix}.weight"]), (2, 3, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def t_conv_transpose(sd: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    # torch: (in, out, kh, kw); flax ConvTranspose kernel: (kh, kw, in, out)
+    out = {"kernel": np.transpose(np.asarray(sd[f"{prefix}.weight"]), (2, 3, 0, 1))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def t_norm(sd: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {"scale": np.asarray(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def t_frozen_bn(sd: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        "weight": np.asarray(sd[f"{prefix}.weight"]),
+        "bias": np.asarray(sd[f"{prefix}.bias"]),
+        "running_mean": np.asarray(sd[f"{prefix}.running_mean"]),
+        "running_var": np.asarray(sd[f"{prefix}.running_var"]),
+    }
+
+
+def t_embed(sd: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {"embedding": np.asarray(sd[f"{prefix}.weight"])}
+
+
+def t_mha(sd: Dict[str, Any], prefix: str, heads: int) -> Dict[str, Any]:
+    """torch nn.MultiheadAttention -> hipie_tpu layers.MultiHeadAttention."""
+    w = np.asarray(sd[f"{prefix}.in_proj_weight"])   # (3C, C)
+    b = np.asarray(sd[f"{prefix}.in_proj_bias"])
+    c = w.shape[1]
+    hd = c // heads
+    parts = {}
+    for i, name in enumerate(["q_proj", "k_proj", "v_proj"]):
+        wi = w[i * c:(i + 1) * c]                     # (C, C)
+        bi = b[i * c:(i + 1) * c]
+        parts[name] = {"kernel": wi.T.reshape(c, heads, hd),
+                       "bias": bi.reshape(heads, hd)}
+    wo = np.asarray(sd[f"{prefix}.out_proj.weight"])  # (C, C)
+    parts["out_proj"] = {"kernel": wo.T.reshape(heads, hd, c),
+                         "bias": np.asarray(sd[f"{prefix}.out_proj.bias"])}
+    return parts
+
+
+def t_mlp(sd: Dict[str, Any], prefix: str, num_layers: int) -> Dict[str, Any]:
+    """torch MLP with .layers.N Linear children -> layers.MLP."""
+    return {f"layers_{i}": t_linear(sd, f"{prefix}.layers.{i}")
+            for i in range(num_layers)}
+
+
+# ---------------------------------------------------------------------------
+# component converters
+# ---------------------------------------------------------------------------
+
+def convert_hf_bert(sd: Dict[str, Any], num_layers: int = 12,
+                    heads: int = 12, prefix: str = "") -> Dict[str, Any]:
+    """HF transformers BertModel state_dict -> hipie_tpu BertModel params."""
+    p = prefix
+    out: Dict[str, Any] = {
+        "word_embeddings": t_embed(sd, f"{p}embeddings.word_embeddings"),
+        "position_embeddings": t_embed(sd, f"{p}embeddings.position_embeddings"),
+        "token_type_embeddings": t_embed(sd, f"{p}embeddings.token_type_embeddings"),
+        "embeddings_norm": t_norm(sd, f"{p}embeddings.LayerNorm"),
+    }
+    for i in range(num_layers):
+        lp = f"{p}encoder.layer.{i}"
+        out[f"layer_{i}"] = {
+            "attention": {
+                "query": t_dense_general(sd, f"{lp}.attention.self.query", heads),
+                "key": t_dense_general(sd, f"{lp}.attention.self.key", heads),
+                "value": t_dense_general(sd, f"{lp}.attention.self.value", heads),
+                "output_dense": t_dense_general_out(
+                    sd, f"{lp}.attention.output.dense", heads),
+            },
+            "attention_norm": t_norm(sd, f"{lp}.attention.output.LayerNorm"),
+            "intermediate": t_linear(sd, f"{lp}.intermediate.dense"),
+            "output": t_linear(sd, f"{lp}.output.dense"),
+            "output_norm": t_norm(sd, f"{lp}.output.LayerNorm"),
+        }
+    return out
+
+
+def convert_d2_resnet(sd: Dict[str, Any], depth: int = 50,
+                      prefix: str = "") -> Dict[str, Any]:
+    """detectron2 ResNet (backbone.0.backbone.*) -> hipie_tpu ResNet params."""
+    blocks_per_stage = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[depth]
+    p = prefix
+    out: Dict[str, Any] = {
+        "stem_conv1": t_conv(sd, f"{p}stem.conv1"),
+        "stem_conv1_norm": t_frozen_bn(sd, f"{p}stem.conv1.norm"),
+    }
+    for s, nblocks in enumerate(blocks_per_stage):
+        stage = f"res{s + 2}"
+        for i in range(nblocks):
+            bp = f"{p}{stage}.{i}"
+            blk = {}
+            for ci in (1, 2, 3):
+                blk[f"conv{ci}"] = t_conv(sd, f"{bp}.conv{ci}")
+                blk[f"conv{ci}_norm"] = t_frozen_bn(sd, f"{bp}.conv{ci}.norm")
+            if f"{bp}.shortcut.weight" in sd:
+                blk["shortcut"] = t_conv(sd, f"{bp}.shortcut")
+                blk["shortcut_norm"] = t_frozen_bn(sd, f"{bp}.shortcut.norm")
+            out[f"{stage}_{i}"] = blk
+    return out
+
+
+def convert_vit(sd: Dict[str, Any], depth: int, prefix: str = "") -> Dict[str, Any]:
+    """ViTDet backbone state_dict -> hipie_tpu ViTDet params."""
+    p = prefix
+    out: Dict[str, Any] = {
+        "patch_embed": t_conv(sd, f"{p}patch_embed.proj"),
+        "pos_embed": np.asarray(sd[f"{p}pos_embed"]),
+        "fpn1": t_conv_transpose(sd, f"{p}fpn1.0"),
+    }
+    for i in range(depth):
+        bp = f"{p}blocks.{i}"
+        blk = {
+            "norm1": t_norm(sd, f"{bp}.norm1"),
+            "norm2": t_norm(sd, f"{bp}.norm2"),
+            "attn": {
+                "qkv": t_linear(sd, f"{bp}.attn.qkv"),
+                "proj": t_linear(sd, f"{bp}.attn.proj"),
+            },
+            "mlp_fc1": t_linear(sd, f"{bp}.mlp.fc1"),
+            "mlp_fc2": t_linear(sd, f"{bp}.mlp.fc2"),
+        }
+        if f"{bp}.attn.rel_pos_h" in sd:
+            blk["attn"]["rel_pos_h"] = np.asarray(sd[f"{bp}.attn.rel_pos_h"])
+            blk["attn"]["rel_pos_w"] = np.asarray(sd[f"{bp}.attn.rel_pos_w"])
+        out[f"blocks_{i}"] = blk
+    return out
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth/.pkl checkpoint into a flat numpy state_dict (host-side)."""
+    import torch
+
+    data = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(data, dict) and "model" in data:
+        data = data["model"]
+    return {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+            for k, v in data.items()}

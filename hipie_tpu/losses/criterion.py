@@ -1,0 +1,308 @@
+"""HIPIE training criterion: token-focal classification, box, IoU-head and
+point-sampled mask losses with per-layer deep supervision and DN supervision.
+
+Behavioral parity target: reference
+hipie/models/deformable_detr/deformable_detr.py SetCriterion (:311-738) /
+DINOCriterion (:740-855) and the fg/bg/gt criterion passes orchestrated in
+ddetrs_dn.py coco_forward (:365-748):
+  * loss_ce: token-level sigmoid focal loss vs positive maps over valid text
+    tokens, / num_boxes (:353-380, segmentation.py:120).
+  * loss_boxes: L1 + GIoU on matched pairs, masked/renormalized by is_thing
+    (stuff boxes don't contribute), plus IoU-head BCE against the detached
+    pairwise IoU (:397-450).
+  * loss_masks: point-sampled (112^2 points, x3 uncertainty oversampling,
+    importance 0.75) sigmoid focal + dice on matched masks (:452-524).
+  * fg pass matched by simOTA (num_boxes = number of matched queries), bg pass
+    by Hungarian-with-mask-costs, dn/gt pass by fixed CDN indices; final loss is
+    a weighted merge (merge_dict :233, weights FINAL_FG/BG/GT_WEIGHT).
+
+TPU redesign: targets are padded to a static N_max with validity masks;
+assignments are (B, Q) gt-index-or-minus-one arrays; matched-query mask
+prediction uses a fixed top-K selection so every shape is static. Everything is
+vmapped over the batch — no per-image python loops, no host syncs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hipie_tpu.config import LossConfig
+from hipie_tpu.losses.matcher import (
+    hungarian_vl_match,
+    mask_match_costs,
+    simota_match,
+)
+from hipie_tpu.losses.point_features import point_sample, uncertain_point_coords
+from hipie_tpu.models.mask_head import dynamic_mask_with_coords
+from hipie_tpu.ops.box_ops import (
+    box_cxcywh_to_xyxy,
+    elementwise_box_iou,
+    elementwise_generalized_box_iou,
+    generalized_box_iou,
+)
+
+
+class Targets(NamedTuple):
+    """Padded per-batch ground truth (static N_max)."""
+
+    labels: jnp.ndarray        # (B, N) int32
+    boxes: jnp.ndarray         # (B, N, 4) cxcywh normalized
+    masks: jnp.ndarray         # (B, N, Hm, Wm) float 0/1 at mask_out_stride
+    positive_map: jnp.ndarray  # (B, N, L)
+    is_thing: jnp.ndarray      # (B, N) bool
+    valid: jnp.ndarray         # (B, N) bool
+
+
+def gather_targets(t: Targets, assign: jnp.ndarray):
+    """Per-query matched GT fields; assign (B, Q) -> masks of validity."""
+    idx = jnp.clip(assign, 0, t.boxes.shape[1] - 1)
+    matched = assign >= 0
+    take = lambda x: jnp.take_along_axis(
+        x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1)
+    return matched, take(t.boxes), take(t.positive_map), \
+        jnp.take_along_axis(t.is_thing, idx, axis=1), idx
+
+
+def loss_labels_vl(logits, assign, targets: Targets, text_mask, num_boxes,
+                   alpha=0.25, gamma=2.0):
+    """Token sigmoid focal loss vs positive maps (reference loss_labelsVL)."""
+    b, q, L = logits.shape
+    matched, _, pos_map, _, _ = gather_targets(targets, assign)
+    tgt = jnp.where(matched[..., None], pos_map, 0.0).astype(jnp.float32)
+    x = logits.astype(jnp.float32)
+    p = jax.nn.sigmoid(x)
+    ce = jnp.maximum(x, 0) - x * tgt + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    p_t = p * tgt + (1 - p) * (1 - tgt)
+    loss = ce * ((1 - p_t) ** gamma)
+    a_t = alpha * tgt + (1 - alpha) * (1 - tgt)
+    loss = a_t * loss
+    loss = loss * (text_mask[:, None, :] > 0)
+    return loss.sum() / jnp.clip(num_boxes, 1.0)
+
+
+def loss_boxes(boxes, iou_logits, assign, targets: Targets, num_boxes,
+               panoptic_box_loss=True):
+    matched, gt_boxes, _, is_thing, _ = gather_targets(targets, assign)
+    m = matched.astype(jnp.float32)
+    thing = is_thing.astype(jnp.float32) if panoptic_box_loss else jnp.ones_like(m)
+    thing = thing * m
+    n_pairs = m.sum()
+    adj = n_pairs / jnp.clip(thing.sum(), 1e-6)
+
+    src = boxes.astype(jnp.float32)
+    tgt = gt_boxes.astype(jnp.float32)
+    b, q = m.shape
+    l1 = jnp.abs(src - tgt).sum(-1) * thing * adj
+    giou = elementwise_generalized_box_iou(
+        box_cxcywh_to_xyxy(src), box_cxcywh_to_xyxy(tgt))
+    loss_giou = (1.0 - giou) * thing * adj
+    out = {
+        "loss_bbox": (l1 * m).sum() / jnp.clip(num_boxes, 1.0),
+        "loss_giou": (loss_giou * m).sum() / jnp.clip(num_boxes, 1.0),
+    }
+    if iou_logits is not None:
+        ious = jax.lax.stop_gradient(elementwise_box_iou(
+            box_cxcywh_to_xyxy(src).reshape(b * q, 4),
+            box_cxcywh_to_xyxy(tgt).reshape(b * q, 4)).reshape(b, q))
+        logit = iou_logits[..., 0].astype(jnp.float32)
+        bce = jnp.maximum(logit, 0) - logit * ious + jnp.log1p(jnp.exp(-jnp.abs(logit)))
+        out["loss_boxiou"] = (bce * thing * adj * m).sum() / jnp.clip(n_pairs, 1.0)
+    return out
+
+
+def loss_masks_pointwise(rng, mask_logits, gt_masks, pair_valid, num_boxes,
+                         cfg: LossConfig):
+    """Point-sampled focal + dice on (B, K, H, W) matched masks."""
+    b, k, h, w = mask_logits.shape
+    ml = mask_logits.reshape(b * k, h, w).astype(jnp.float32)
+    gm = gt_masks.reshape(b * k, *gt_masks.shape[2:]).astype(jnp.float32)
+    coords = uncertain_point_coords(
+        rng, jax.lax.stop_gradient(ml), cfg.num_points, cfg.oversample_ratio,
+        cfg.importance_sample_ratio)
+    logits = point_sample(ml, coords)                       # (BK, P)
+    labels = jax.lax.stop_gradient(point_sample(gm, coords))
+    v = pair_valid.reshape(b * k, 1).astype(jnp.float32)
+
+    # sigmoid focal (alpha=0.25, gamma=2): mean over points, sum over instances,
+    # / num_boxes (reference sigmoid_focal_loss_jit usage in loss_masks).
+    p = jax.nn.sigmoid(logits)
+    ce = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    p_t = p * labels + (1 - p) * (1 - labels)
+    a_t = 0.25 * labels + 0.75 * (1 - labels)
+    focal_pt = a_t * ce * ((1 - p_t) ** 2)
+    focal = (focal_pt.mean(-1) * v[:, 0]).sum() / jnp.clip(num_boxes, 1.0)
+
+    numer = 2 * (p * labels * v).sum(-1)
+    denom = (p * v).sum(-1) + (labels * v).sum(-1)
+    dice = (1 - (numer + 1) / (denom + 1)) * v[:, 0]
+    dice = dice.sum() / jnp.clip(num_boxes, 1.0)
+    return {"loss_mask": focal, "loss_dice": dice}
+
+
+def select_matched(assign: jnp.ndarray, k: int):
+    """Pick up to k matched query slots per image (stable by query index).
+
+    Returns (sel_q (B, k) int32, sel_valid (B, k) bool).
+    """
+    b, q = assign.shape
+    matched = assign >= 0
+    key = jnp.where(matched, jnp.arange(q)[None, :], q + jnp.arange(q)[None, :])
+    order = jnp.argsort(key, axis=1)[:, :k]
+    sel_valid = jnp.take_along_axis(matched, order, axis=1)
+    return order.astype(jnp.int32), sel_valid
+
+
+class CriterionPassOutput(NamedTuple):
+    losses: Dict[str, jnp.ndarray]
+
+
+def predict_matched_masks(
+    sel_q, ctrl_params_layer, refs_layer, mask_feats, image_sizes,
+    weight_nums, bias_nums, channels, rel_coord=True):
+    """Dynamic-conv masks for the selected (B, K) query slots of one layer."""
+    ctrl = jnp.take_along_axis(ctrl_params_layer, sel_q[..., None], axis=1)
+    refs = jnp.take_along_axis(refs_layer[..., :2], sel_q[..., None], axis=1)
+    scale = jnp.stack([image_sizes[:, 1], image_sizes[:, 0]], -1).astype(jnp.float32)
+    ref_pix = refs * scale[:, None, :]
+    return dynamic_mask_with_coords(
+        mask_feats, ref_pix, ctrl, weight_nums, bias_nums, channels,
+        mask_feat_stride=8, mask_out_stride=4, rel_coord=rel_coord)
+
+
+def criterion_pass(
+    rng: jax.Array,
+    layer_outputs: Dict[str, jnp.ndarray],
+    # each (layers, B, Qs, ...) pre-sliced for this pass:
+    #   class (L, B, Q, Ltxt), boxes, iou or None, ctrl (L, B, Q, P), refs
+    targets: Targets,
+    text_mask: jnp.ndarray,
+    mask_feats: jnp.ndarray,
+    image_sizes: jnp.ndarray,
+    cfg: LossConfig,
+    weight_nums, bias_nums,
+    dyn_channels: int = 8,
+    matcher: str = "ota",                   # ota | hungarian | fixed
+    fixed_assign: Optional[jnp.ndarray] = None,   # (B, Q) for dn/gt pass
+    max_matched: int = 100,
+    with_masks: bool = True,
+    ota_normalize_by_matches: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """One criterion pass (fg, bg or gt) over all decoder layers."""
+    classes = layer_outputs["classes"]
+    boxes = layer_outputs["boxes"]
+    ious = layer_outputs.get("ious")
+    ctrl = layer_outputs.get("ctrl")
+    refs = layer_outputs.get("refs")
+    dense_masks = layer_outputs.get("masks")
+    num_layers = classes.shape[0]
+    losses: Dict[str, jnp.ndarray] = {}
+
+    num_gt = targets.valid.sum().astype(jnp.float32)
+
+    for lid in range(num_layers):
+        cls_l = classes[lid]
+        box_l = boxes[lid]
+        rng, k_match, k_pts = jax.random.split(rng, 3)
+
+        if matcher == "fixed":
+            assign = fixed_assign
+        elif matcher == "ota":
+            assign = jax.vmap(simota_match, in_axes=(0, 0, 0, 0, 0))(
+                jax.nn.sigmoid(cls_l.astype(jnp.float32)), box_l,
+                targets.boxes, targets.positive_map, targets.valid)
+            assign = jax.lax.stop_gradient(assign)
+        else:  # hungarian with point-sampled mask costs (Mask2Former-style)
+            def match_one(args):
+                cls_i, box_i, tb, pm, tv, ml, gm, key = args
+                mc = mask_match_costs(key, ml, gm, num_points=min(cfg.num_points, 2048),
+                                      cost_mask=cfg.mask_weight, cost_dice=cfg.dice_weight)
+                return hungarian_vl_match(
+                    jax.nn.sigmoid(cls_i.astype(jnp.float32)), box_i, tb, pm, tv,
+                    cost_class=cfg.class_weight, cost_bbox=cfg.bbox_weight,
+                    cost_giou=cfg.giou_weight, mask_cost=mc)
+            # small query sets only (bg: 10 queries) — compute masks for all.
+            b = cls_l.shape[0]
+            if dense_masks is not None:
+                masks_all = dense_masks[lid]
+            else:
+                masks_all = predict_matched_masks(
+                    jnp.broadcast_to(jnp.arange(cls_l.shape[1])[None], cls_l.shape[:2]).astype(jnp.int32),
+                    ctrl[lid], refs[lid], mask_feats, image_sizes,
+                    weight_nums, bias_nums, dyn_channels)
+            keys = jax.random.split(k_match, b)
+            assign = jax.lax.stop_gradient(jax.vmap(
+                lambda ci, bi, tb, pm, tv, ml, gm, key: match_one(
+                    (ci, bi, tb, pm, tv, ml, gm, key)))(
+                cls_l, box_l, targets.boxes, targets.positive_map, targets.valid,
+                jax.lax.stop_gradient(masks_all), targets.masks, keys))
+
+        matched_count = (assign >= 0).sum().astype(jnp.float32)
+        num_boxes = matched_count if (matcher == "ota" and ota_normalize_by_matches) \
+            else jnp.clip(num_gt, 1.0)
+        if matcher == "fixed":
+            num_boxes = jnp.clip(matched_count, 1.0)
+
+        suffix = "" if lid == num_layers - 1 else f"_{lid}"
+        losses[f"loss_ce{suffix}"] = loss_labels_vl(
+            cls_l, assign, targets, text_mask, num_boxes,
+            alpha=cfg.focal_alpha, gamma=cfg.focal_gamma)
+        lb = loss_boxes(box_l, ious[lid] if ious is not None else None,
+                        assign, targets, num_boxes)
+        for k, v in lb.items():
+            losses[f"{k}{suffix}"] = v
+
+        if with_masks and (ctrl is not None or dense_masks is not None):
+            sel_q, sel_valid = select_matched(assign, max_matched)
+            if dense_masks is not None:
+                pred_masks = jnp.take_along_axis(
+                    dense_masks[lid], sel_q[..., None, None], axis=1)
+            else:
+                pred_masks = predict_matched_masks(
+                    sel_q, ctrl[lid], refs[lid], mask_feats, image_sizes,
+                    weight_nums, bias_nums, dyn_channels)
+            gt_idx = jnp.take_along_axis(assign, sel_q, axis=1)
+            gt_idx = jnp.clip(gt_idx, 0, targets.masks.shape[1] - 1)
+            gt_m = jnp.take_along_axis(
+                targets.masks, gt_idx[..., None, None], axis=1)
+            # crop/pad GT masks to prediction resolution
+            ph, pw = pred_masks.shape[2], pred_masks.shape[3]
+            gt_m = gt_m[:, :, :ph, :pw]
+            gt_m = jnp.pad(gt_m, ((0, 0), (0, 0), (0, ph - gt_m.shape[2]),
+                                  (0, pw - gt_m.shape[3])))
+            lm = loss_masks_pointwise(k_pts, pred_masks, gt_m, sel_valid,
+                                      num_boxes, cfg)
+            for k, v in lm.items():
+                losses[f"{k}{suffix}"] = v
+    return losses
+
+
+def merge_loss_dicts(dicts: Sequence[Dict[str, jnp.ndarray]],
+                     weights: Sequence[float]) -> Dict[str, jnp.ndarray]:
+    """Weighted merge (reference ddetrs_dn.py merge_dict :233-243)."""
+    out: Dict[str, jnp.ndarray] = {}
+    for d, w in zip(dicts, weights):
+        for k, v in d.items():
+            v = v * w
+            out[k] = out.get(k, 0.0) + v
+    return out
+
+
+def apply_weight_dict(losses: Dict[str, jnp.ndarray],
+                      cfg: LossConfig) -> jnp.ndarray:
+    """Total = sum of weighted losses (reference weight dict hipie_img.py:196-208)."""
+    base = {
+        "loss_ce": cfg.class_weight, "loss_bbox": cfg.bbox_weight,
+        "loss_giou": cfg.giou_weight, "loss_mask": cfg.mask_weight,
+        "loss_dice": cfg.dice_weight, "loss_boxiou": cfg.iou_head_weight,
+    }
+    total = 0.0
+    for k, v in losses.items():
+        root = k.split("_enc")[0]
+        for name, w in base.items():
+            if k == name or k.startswith(name + "_"):
+                total = total + w * v
+                break
+    return total

@@ -81,6 +81,9 @@ class HIPIEDetector(nn.Module):
         self.num_gen_params = sum(self.weight_nums) + sum(self.bias_nums)
         self.controller = MLP(tc.d_model, self.num_gen_params, 3, dtype=dtype,
                               name="controller")
+        # label embedding for CDN noised-label queries (ddetrs_dn.py:158-160;
+        # DYNAMIC_LABEL_ENC is off in the HIPIE image configs).
+        self.label_enc = nn.Embed(c.num_classes, tc.d_model, name="label_enc")
         self.mask_feature_head = MaskFeatureHead(tc.d_model, dtype=dtype,
                                                  name="mask_head")
         if c.maskdino.enabled:
@@ -132,7 +135,8 @@ class HIPIEDetector(nn.Module):
         lang_masks: jnp.ndarray,        # (B, L)
         image_sizes: jnp.ndarray,       # (B, 2) valid (h, w) per image
         task: str = "detection",
-        dn_tgt: Optional[jnp.ndarray] = None,
+        dn_labels: Optional[jnp.ndarray] = None,      # (B, pad) int32
+        dn_valid: Optional[jnp.ndarray] = None,       # (B, pad) bool
         dn_refs_unact: Optional[jnp.ndarray] = None,
         self_attn_mask: Optional[jnp.ndarray] = None,
         bg_queries_lang: Optional[jnp.ndarray] = None,
@@ -144,6 +148,12 @@ class HIPIEDetector(nn.Module):
         c = self.cfg
         features = self.backbone(images)
         srcs, masks, poses = self._project_levels(features, pad_mask)
+
+        dn_tgt = None
+        if dn_labels is not None:
+            dn_tgt = self.label_enc(dn_labels)
+            if dn_valid is not None:
+                dn_tgt = jnp.where(dn_valid[..., None], dn_tgt, 0.0)
 
         t = self.transformer(
             srcs, masks, poses, lang_hidden, lang_masks, task=task,
@@ -173,6 +183,16 @@ class HIPIEDetector(nn.Module):
                 outputs["outputs_iou"] = jnp.stack(
                     [self.iou_heads[i](hs[i]).astype(jnp.float32)
                      for i in range(num_layers)])
+            # controller params for every query at every layer: the criterion
+            # builds matched-query dynamic-conv masks from these (static shapes).
+            outputs["ctrl_params"] = jnp.stack(
+                [self.controller(hs[i]).astype(jnp.float32)
+                 for i in range(num_layers)])
+            # per-layer rel-coord reference points (pre-layer refs, ddetrs_dn.py
+            # uses inverse_sigmoid(reference) of the layer input).
+            refs_list = [t["init_reference"]] + [
+                t["inter_references"][i] for i in range(num_layers - 1)]
+            outputs["layer_refs"] = jnp.stack(refs_list)
         else:
             outputs["pred_logits"] = self.class_embeds[-1](hs[-1], lang_for_cls)
             outputs["pred_boxes"] = t["outputs_coord"][-1]

@@ -76,7 +76,7 @@ class HIPIEModel(nn.Module):
         image_sizes: jnp.ndarray,     # (B, 2) valid (h, w)
         task: str = "detection",
         train: bool = False,
-        dn_tgt=None, dn_refs_unact=None, self_attn_mask=None,
+        dn_labels=None, dn_valid=None, dn_refs_unact=None, self_attn_mask=None,
         bg_queries_lang=None,
         maskdino_dn_tgt=None, maskdino_dn_refs=None, maskdino_attn_mask=None,
     ) -> Dict[str, Any]:
@@ -85,7 +85,7 @@ class HIPIEModel(nn.Module):
         lang_hidden = self.encode_text(input_ids, lang_attn_mask, task)
         out = self.detector(
             x, pad_mask, lang_hidden, lang_attn_mask, image_sizes, task=task,
-            dn_tgt=dn_tgt, dn_refs_unact=dn_refs_unact,
+            dn_labels=dn_labels, dn_valid=dn_valid, dn_refs_unact=dn_refs_unact,
             self_attn_mask=self_attn_mask, bg_queries_lang=bg_queries_lang,
             maskdino_dn_tgt=maskdino_dn_tgt, maskdino_dn_refs=maskdino_dn_refs,
             maskdino_attn_mask=maskdino_attn_mask, train=train)

@@ -61,6 +61,23 @@ def elementwise_box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray
     return inter / jnp.clip(area1 + area2 - inter, 1e-6, None)
 
 
+def elementwise_generalized_box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise GIoU between matching rows of (..., 4) xyxy boxes."""
+    area1 = box_area(boxes1)
+    area2 = box_area(boxes2)
+    lt = jnp.maximum(boxes1[..., :2], boxes2[..., :2])
+    rb = jnp.minimum(boxes1[..., 2:], boxes2[..., 2:])
+    wh = jnp.clip(rb - lt, 0.0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area1 + area2 - inter
+    iou = inter / jnp.clip(union, 1e-6, None)
+    lt_e = jnp.minimum(boxes1[..., :2], boxes2[..., :2])
+    rb_e = jnp.maximum(boxes1[..., 2:], boxes2[..., 2:])
+    wh_e = jnp.clip(rb_e - lt_e, 0.0, None)
+    area = wh_e[..., 0] * wh_e[..., 1]
+    return iou - (area - union) / jnp.clip(area, 1e-6, None)
+
+
 def masks_to_boxes(masks: jnp.ndarray) -> jnp.ndarray:
     """Compute xyxy bounding boxes around (N, H, W) binary masks.
 

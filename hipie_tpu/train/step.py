@@ -1,0 +1,172 @@
+"""Jitted training step: CDN prep -> model forward -> fg/bg/gt + MaskDINO
+criterion passes -> weighted total -> AdamW update. Designed to run under a
+("data", "model") mesh with data-sharded batches and TP-sharded params.
+
+Behavioral parity target: the training orchestration of reference
+ddetrs_dn.py coco_forward (:264-748) + hipie_img.py forward train branch
+(:287-313) + train_net.py optimizer wrapper (:166-244). Structural notes:
+  * query layout [dn | bg | fg]; fg matched by simOTA, bg (stuff) by
+    Hungarian-with-mask-costs, dn slots by fixed CDN indices.
+  * pass weights FINAL_FG/BG/GT_WEIGHT = 1.0 / 0.0 / 1.0 (r50.yaml:27-29).
+  * MaskDINO branch supervised by its own criterion (class 4 / mask 5 / dice 5 /
+    box 5 / giou 2, maskdino yaml) on all targets.
+  * TODO(round 2): encoder-proposal loss (_enc), MaskDINO interm + seg-DN losses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from hipie_tpu.config import HIPIEConfig
+from hipie_tpu.losses.criterion import (
+    Targets,
+    apply_weight_dict,
+    criterion_pass,
+    merge_loss_dicts,
+)
+from hipie_tpu.models.dn import prepare_cdn
+from hipie_tpu.models.mask_head import dynamic_conv_param_sizes
+from hipie_tpu.train.optimizer import build_optimizer
+
+
+class TrainBatch(NamedTuple):
+    images: jnp.ndarray         # (B, H, W, 3)
+    pad_mask: jnp.ndarray       # (B, H, W) True = pad
+    input_ids: jnp.ndarray      # (B, L)
+    lang_mask: jnp.ndarray      # (B, L)
+    image_sizes: jnp.ndarray    # (B, 2)
+    targets: Targets
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_loss_fn(model, cfg: HIPIEConfig, task: str = "detection"):
+    mc = cfg.model
+    lc = mc.loss
+    md_lc = dataclasses.replace(
+        lc, class_weight=4.0, bbox_weight=5.0, giou_weight=2.0,
+        mask_weight=5.0, dice_weight=5.0)
+    weight_nums, bias_nums = dynamic_conv_param_sizes(
+        mc.transformer.d_model // 32, mc.mask_head.dynamic_mask_channels,
+        mc.mask_head.num_dynamic_layers, mc.mask_head.use_rel_coord)
+    n_bg = mc.transformer.num_bg_queries
+    n_match = mc.transformer.num_queries + n_bg
+    max_matched = mc.max_insts_num
+
+    def loss_fn(params, batch: TrainBatch, rng: jax.Array):
+        t = batch.targets
+        k_dn, k_fg, k_bg, k_gt, k_md = jax.random.split(rng, 5)
+        cdn = None
+        dn_kwargs = {}
+        if mc.dn.enabled:
+            cdn = prepare_cdn(
+                k_dn, t.labels, t.boxes, t.valid, mc.num_classes, n_match,
+                dn_number=mc.dn.dn_number,
+                label_noise_ratio=mc.dn.label_noise_ratio,
+                box_noise_scale=mc.dn.box_noise_scale)
+            dn_kwargs = dict(dn_labels=cdn.noised_labels, dn_valid=cdn.slot_valid,
+                             dn_refs_unact=cdn.refs_unact,
+                             self_attn_mask=cdn.attn_mask)
+        out = model.apply(
+            params, batch.images, batch.pad_mask, batch.input_ids,
+            batch.lang_mask, batch.image_sizes, task=task, train=True,
+            **dn_kwargs)
+
+        pad = cdn.pad_size if cdn is not None else 0
+        start_bg, start_fg = pad, pad + n_bg
+
+        def slice_layers(s, e, with_iou):
+            lo = {
+                "classes": out["outputs_class"][:, :, s:e],
+                "boxes": out["outputs_coord"][:, :, s:e],
+                "ctrl": out["ctrl_params"][:, :, s:e],
+                "refs": out["layer_refs"][:, :, s:e],
+            }
+            if with_iou and "outputs_iou" in out:
+                lo["ious"] = out["outputs_iou"][:, :, s:e]
+            return lo
+
+        common = dict(
+            text_mask=batch.lang_mask, mask_feats=out["mask_feats"],
+            image_sizes=batch.image_sizes, cfg=lc,
+            weight_nums=weight_nums, bias_nums=bias_nums,
+            dyn_channels=mc.mask_head.dynamic_mask_channels,
+            max_matched=max_matched)
+
+        fg_targets = t._replace(valid=t.valid & t.is_thing)
+        bg_targets = t._replace(valid=t.valid & ~t.is_thing)
+
+        losses_fg = criterion_pass(
+            k_fg, slice_layers(start_fg, None, True), fg_targets,
+            matcher="ota" if lc.matcher == "ota" else "hungarian", **common)
+        losses_bg = criterion_pass(
+            k_bg, slice_layers(start_bg, start_fg, False), bg_targets,
+            matcher="hungarian", **common)
+        passes = [losses_fg, losses_bg]
+        weights = [1.0, 0.0]
+        if cdn is not None:
+            losses_gt = criterion_pass(
+                k_gt, slice_layers(0, pad, False), t,
+                matcher="fixed", fixed_assign=cdn.gt_assign, **common)
+            passes.append(losses_gt)
+            weights.append(1.0)
+        merged = merge_loss_dicts(passes, weights)
+        total = apply_weight_dict(merged, lc)
+
+        metrics = {k: v for k, v in merged.items() if "_" not in k[5:]}
+        if mc.maskdino.enabled and "maskdino" in out:
+            md = out["maskdino"]
+            md_layers = {
+                "classes": jnp.stack(md["aux"]["classes"] + [md["pred_logits"]]),
+                "boxes": jnp.stack(md["aux"]["boxes"] + [md["pred_boxes"]]),
+                "masks": jnp.stack(
+                    [m for m in md["aux"]["masks"]] + [md["pred_masks"]]),
+            }
+            losses_md = criterion_pass(
+                k_md, md_layers, t, matcher="hungarian",
+                text_mask=batch.lang_mask, mask_feats=out["mask_feats"],
+                image_sizes=batch.image_sizes, cfg=md_lc,
+                weight_nums=weight_nums, bias_nums=bias_nums,
+                max_matched=max_matched)
+            total = total + apply_weight_dict(losses_md, md_lc)
+            metrics.update({f"{k}_maskdino": v for k, v in losses_md.items()
+                            if "_" not in k[5:]})
+        metrics["total_loss"] = total
+        return total, metrics
+
+    return loss_fn
+
+
+def create_train_state(model, cfg: HIPIEConfig, rng, sample_batch: TrainBatch):
+    params = jax.jit(model.init, static_argnames=("train",))(
+        rng, sample_batch.images, sample_batch.pad_mask, sample_batch.input_ids,
+        sample_batch.lang_mask, sample_batch.image_sizes, train=True,
+        dn_labels=jnp.zeros_like(sample_batch.targets.labels),
+        dn_valid=jnp.ones_like(sample_batch.targets.valid),
+        dn_refs_unact=jnp.zeros(sample_batch.targets.boxes.shape, jnp.float32))
+    tx = build_optimizer(cfg.solver, params)
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
+
+
+def make_train_step(model, cfg: HIPIEConfig, tx, task: str = "detection",
+                    donate: bool = True):
+    loss_fn = make_loss_fn(model, cfg, task)
+
+    def train_step(state: TrainState, batch: TrainBatch, rng: jax.Array):
+        (total, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,77 @@
+"""Benchmark: ViT-H COCO-panoptic inference throughput (images/sec/chip).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference repo publishes no throughput (BASELINE.md). We use an
+estimated A100 reference of 1.5 images/sec for HIPIE ViT-H 1024^2 panoptic
+inference (ViT-H backbone ~3.3 TFLOP/img + deformable encoder/decoder + mask
+heads, torch fp16 on A100); `vs_baseline` = measured / 1.5. The north-star is
+vs_baseline >= 3.0 (BASELINE.json).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    size = int(os.environ.get("BENCH_SIZE", "1024"))
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    from hipie_tpu.presets import vit_huge_coco_panoptic
+    from hipie_tpu.models.hipie import HIPIEModel, hipie_inference
+    from hipie_tpu.models.postprocess import ClassMaps
+
+    cfg = vit_huge_coco_panoptic()
+    L = cfg.model.text.max_query_len
+    model = HIPIEModel(cfg.model)
+    images = jnp.full((batch, size, size, 3), 127.0, jnp.float32)
+    pad = jnp.zeros((batch, size, size), bool)
+    ids = jnp.asarray((np.arange(L) % 1000 + 999)[None].repeat(batch, 0), jnp.int32)
+    am = jnp.ones((batch, L), jnp.int32)
+    sizes = jnp.asarray([[size, size]] * batch, jnp.int32)
+
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images, pad, ids, am, sizes)
+
+    C = 133
+    mw = np.zeros((C, L), np.float32)
+    tm = np.zeros((C, L), bool)
+    for c in range(C):
+        mw[c, (c % (L - 2)) + 1] = 1.0
+        tm[c, (c % (L - 2)) + 1] = True
+    maps = ClassMaps(jnp.asarray(mw), jnp.asarray(tm),
+                     jnp.asarray(np.arange(C) < 80))
+
+    @jax.jit
+    def fn(params, images, pad, ids, am, sizes):
+        out = model.apply(params, images, pad, ids, am, sizes)
+        return hipie_inference(out, maps, cfg.test, cfg.model,
+                               pad_mask_s4=pad[0][::4, ::4])
+
+    # warmup/compile
+    r = fn(params, images, pad, ids, am, sizes)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(params, images, pad, ids, am, sizes)
+    jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+
+    a100_baseline = 1.5
+    print(json.dumps({
+        "metric": "coco_panoptic_vith_images_per_sec_per_chip",
+        "value": round(ips, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / a100_baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Training loop with hooks: timing, periodic checkpoint, periodic eval, logging.
+
+Behavioral parity target: detectron2 DefaultTrainer/TrainerBase
+(engine/defaults.py:321+, engine/train_loop.py:88-215) + its hook set
+(IterationTimer, LRScheduler logging, PeriodicCheckpointer, EvalHook,
+PeriodicWriter(period=20)) assembled in build_hooks (defaults.py:420-467).
+
+TPU-native: the step is a single jitted function over the device mesh; host-side
+work per iteration is only data loading + scalar logging. Metrics arrive as
+device scalars and are fetched asynchronously every `log_period` steps.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from hipie_tpu.config import HIPIEConfig
+from hipie_tpu.train.checkpoint import resume_or_load, save_checkpoint
+from hipie_tpu.train.optimizer import lr_schedule
+from hipie_tpu.train.step import TrainBatch, TrainState
+from hipie_tpu.utils.events import EventStorage, Profiler
+
+
+class Trainer:
+    def __init__(self, cfg: HIPIEConfig, model, state: TrainState, tx,
+                 train_step: Callable, loader: Iterator,
+                 eval_fn: Optional[Callable] = None,
+                 log_period: int = 20, profile_at: int = -1):
+        self.cfg = cfg
+        self.model = model
+        self.state = state
+        self.tx = tx
+        self.train_step = train_step
+        self.loader = loader
+        self.eval_fn = eval_fn
+        self.storage = EventStorage(cfg.output_dir)
+        self.profiler = Profiler(cfg.output_dir, start_iter=profile_at)
+        self.log_period = log_period
+
+    def resume_or_load(self, weights: Optional[str] = None, resume: bool = True):
+        self.state, resumed = resume_or_load(
+            self.cfg.output_dir, self.state, weights, resume)
+        if resumed:
+            self.storage.iter = int(self.state.step)
+        return resumed
+
+    def train(self, start_iter: Optional[int] = None,
+              max_iter: Optional[int] = None):
+        cfg = self.cfg.solver
+        max_iter = max_iter or cfg.max_iter
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        it = int(self.state.step) if start_iter is None else start_iter
+        data_iter = iter(self.loader)
+        lr_fn = lr_schedule(cfg, cfg.base_lr)
+        pending_metrics = None
+
+        while it < max_iter:
+            self.profiler.maybe_start(it)
+            t_data = time.time()
+            batch = next(data_iter)
+            if isinstance(batch, dict):
+                batch = TrainBatch(**batch)
+            data_time = time.time() - t_data
+
+            rng, key = jax.random.split(rng)
+            self.state, metrics = self.train_step(self.state, batch, key)
+            self.storage.tick()
+            it += 1
+
+            if pending_metrics is not None and (it % self.log_period == 0):
+                host = {k: float(v) for k, v in pending_metrics.items()}
+                self.storage.put_scalars(data_time=data_time, **host)
+                self.storage.log_console(max_iter, lr=float(lr_fn(it)))
+                self.storage.write_json()
+            pending_metrics = metrics
+            self.profiler.maybe_stop(it)
+
+            if it % cfg.checkpoint_period == 0 or it == max_iter:
+                save_checkpoint(self.cfg.output_dir, self.state, it)
+            if self.eval_fn is not None and it % 5000 == 0:
+                results = self.eval_fn(self.state.params)
+                self.storage.put_scalars(**{f"eval/{k}": v
+                                            for k, v in results.items()})
+        return self.state

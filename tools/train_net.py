@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Training/eval CLI (reference: projects/HIPIE/train_net.py + root launch.py).
+
+Usage:
+  python tools/train_net.py --config-file configs/r50.yaml [--eval-only]
+      [--num-devices N] [--tp T] [KEY VALUE ...]
+
+No process launcher is needed (the reference spawns one proc per GPU via
+launch.py / mp.spawn): a single JAX SPMD program drives the whole mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config-file", default="")
+    p.add_argument("--preset", default="r50_coco_panoptic")
+    p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--weights", default="")
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--vocab", default="", help="bert vocab.txt path")
+    p.add_argument("opts", nargs="*", default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from hipie_tpu import presets
+    from hipie_tpu.config import apply_overrides, load_config
+    from hipie_tpu.data.mapper import HIPIEMapper
+    from hipie_tpu.data.loader import TrainLoader
+    from hipie_tpu.models.hipie import HIPIEModel
+    from hipie_tpu.models.text.tokenizer import WordPieceTokenizer
+    from hipie_tpu.parallel.mesh import create_mesh, shard_params
+    from hipie_tpu.train.step import (TrainBatch, create_train_state,
+                                      make_train_step)
+    from hipie_tpu.train.trainer import Trainer
+
+    cfg = (load_config(args.config_file) if args.config_file
+           else getattr(presets, args.preset)())
+    overrides = dict(zip(args.opts[::2], args.opts[1::2]))
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+
+    tok = (WordPieceTokenizer.from_vocab_file(args.vocab) if args.vocab
+           else WordPieceTokenizer.toy())
+    model = HIPIEModel(cfg.model)
+    mapper = HIPIEMapper(cfg.data, tok, is_train=not args.eval_only,
+                         max_gt=cfg.model.max_insts_num, seed=cfg.seed)
+    batch_size = max(cfg.solver.ims_per_batch // max(jax.device_count(), 1), 1)
+    loader = TrainLoader(cfg.data, mapper, batch_size, seed=cfg.seed)
+
+    mesh = create_mesh(tp=args.tp)
+    with mesh:
+        first = TrainBatch(**next(iter(loader)))
+        state, tx = create_train_state(model, cfg, jax.random.PRNGKey(cfg.seed),
+                                       first)
+        state = state._replace(
+            params=jax.device_put(state.params, shard_params(state.params, mesh)))
+        step = make_train_step(model, cfg, tx)
+        trainer = Trainer(cfg, model, state, tx, step, loader)
+        trainer.resume_or_load(args.weights or None, resume=args.resume)
+        if args.eval_only:
+            raise SystemExit("use tools/eval_net.py for evaluation")
+        trainer.train()
+
+
+if __name__ == "__main__":
+    main()

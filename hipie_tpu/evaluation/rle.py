@@ -98,11 +98,24 @@ def rle_area(rle: Dict) -> int:
 
 def mask_iou_matrix(dets: List[np.ndarray], gts: List[np.ndarray],
                     iscrowd: Sequence[bool] = ()) -> np.ndarray:
-    """(n_det, n_gt) mask IoU; crowd gts use intersection/det_area."""
+    """(n_det, n_gt) mask IoU; crowd gts use intersection/det_area.
+
+    Uses the native C++ kernel (hipie_tpu/native) when built."""
     nd, ng = len(dets), len(gts)
     out = np.zeros((nd, ng), np.float64)
     if nd == 0 or ng == 0:
         return out
+    try:
+        from hipie_tpu.native import available, mask_iou_native
+        if available():
+            crowd = np.zeros(ng, np.uint8)
+            for j in range(min(ng, len(iscrowd))):
+                crowd[j] = bool(iscrowd[j])
+            d = np.stack([np.asarray(m, np.uint8).reshape(-1) for m in dets])
+            g = np.stack([np.asarray(m, np.uint8).reshape(-1) for m in gts])
+            return mask_iou_native(d, g, crowd)
+    except Exception:
+        pass
     d = np.stack([m.astype(bool).reshape(-1) for m in dets])
     g = np.stack([m.astype(bool).reshape(-1) for m in gts])
     inter = d.astype(np.float64) @ g.T.astype(np.float64)

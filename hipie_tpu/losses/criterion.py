@@ -190,7 +190,11 @@ def criterion_pass(
     with_masks: bool = True,
     ota_normalize_by_matches: bool = True,
 ) -> Dict[str, jnp.ndarray]:
-    """One criterion pass (fg, bg or gt) over all decoder layers."""
+    """One criterion pass (fg, bg or gt) over all decoder layers.
+
+    The per-layer computation (matching + losses) is identical across layers, so
+    it is lax.scan'ed over the stacked layer axis — the body compiles once
+    regardless of decoder depth."""
     classes = layer_outputs["classes"]
     boxes = layer_outputs["boxes"]
     ious = layer_outputs.get("ious")
@@ -198,14 +202,20 @@ def criterion_pass(
     refs = layer_outputs.get("refs")
     dense_masks = layer_outputs.get("masks")
     num_layers = classes.shape[0]
-    losses: Dict[str, jnp.ndarray] = {}
 
     num_gt = targets.valid.sum().astype(jnp.float32)
+    zeros = jnp.zeros((num_layers,) + classes.shape[1:3], jnp.float32)
+    xs = {
+        "cls": classes, "box": boxes,
+        "iou": ious if ious is not None else None,
+        "ctrl": ctrl, "refs": refs, "masks": dense_masks,
+        "keys": jax.random.split(rng, num_layers),
+    }
+    xs = {k: v for k, v in xs.items() if v is not None}
 
-    for lid in range(num_layers):
-        cls_l = classes[lid]
-        box_l = boxes[lid]
-        rng, k_match, k_pts = jax.random.split(rng, 3)
+    def layer_losses(x):
+        cls_l, box_l = x["cls"], x["box"]
+        k_match, k_pts = jax.random.split(x["keys"])
 
         if matcher == "fixed":
             assign = fixed_assign
@@ -215,67 +225,69 @@ def criterion_pass(
                 targets.boxes, targets.positive_map, targets.valid)
             assign = jax.lax.stop_gradient(assign)
         else:  # hungarian with point-sampled mask costs (Mask2Former-style)
-            def match_one(args):
-                cls_i, box_i, tb, pm, tv, ml, gm, key = args
-                mc = mask_match_costs(key, ml, gm, num_points=min(cfg.num_points, 2048),
-                                      cost_mask=cfg.mask_weight, cost_dice=cfg.dice_weight)
+            def match_one(cls_i, box_i, tb, pm, tv, ml, gm, key):
+                mc = mask_match_costs(key, ml, gm,
+                                      num_points=min(cfg.num_points, 2048),
+                                      cost_mask=cfg.mask_weight,
+                                      cost_dice=cfg.dice_weight)
                 return hungarian_vl_match(
                     jax.nn.sigmoid(cls_i.astype(jnp.float32)), box_i, tb, pm, tv,
                     cost_class=cfg.class_weight, cost_bbox=cfg.bbox_weight,
                     cost_giou=cfg.giou_weight, mask_cost=mc)
-            # small query sets only (bg: 10 queries) — compute masks for all.
             b = cls_l.shape[0]
-            if dense_masks is not None:
-                masks_all = dense_masks[lid]
+            if "masks" in x:
+                masks_all = x["masks"]
             else:
                 masks_all = predict_matched_masks(
-                    jnp.broadcast_to(jnp.arange(cls_l.shape[1])[None], cls_l.shape[:2]).astype(jnp.int32),
-                    ctrl[lid], refs[lid], mask_feats, image_sizes,
+                    jnp.broadcast_to(jnp.arange(cls_l.shape[1])[None],
+                                     cls_l.shape[:2]).astype(jnp.int32),
+                    x["ctrl"], x["refs"], mask_feats, image_sizes,
                     weight_nums, bias_nums, dyn_channels)
             keys = jax.random.split(k_match, b)
-            assign = jax.lax.stop_gradient(jax.vmap(
-                lambda ci, bi, tb, pm, tv, ml, gm, key: match_one(
-                    (ci, bi, tb, pm, tv, ml, gm, key)))(
+            assign = jax.lax.stop_gradient(jax.vmap(match_one)(
                 cls_l, box_l, targets.boxes, targets.positive_map, targets.valid,
                 jax.lax.stop_gradient(masks_all), targets.masks, keys))
 
         matched_count = (assign >= 0).sum().astype(jnp.float32)
-        num_boxes = matched_count if (matcher == "ota" and ota_normalize_by_matches) \
-            else jnp.clip(num_gt, 1.0)
         if matcher == "fixed":
             num_boxes = jnp.clip(matched_count, 1.0)
+        elif matcher == "ota" and ota_normalize_by_matches:
+            num_boxes = matched_count
+        else:
+            num_boxes = jnp.clip(num_gt, 1.0)
 
-        suffix = "" if lid == num_layers - 1 else f"_{lid}"
-        losses[f"loss_ce{suffix}"] = loss_labels_vl(
+        out = {"loss_ce": loss_labels_vl(
             cls_l, assign, targets, text_mask, num_boxes,
-            alpha=cfg.focal_alpha, gamma=cfg.focal_gamma)
-        lb = loss_boxes(box_l, ious[lid] if ious is not None else None,
-                        assign, targets, num_boxes)
-        for k, v in lb.items():
-            losses[f"{k}{suffix}"] = v
+            alpha=cfg.focal_alpha, gamma=cfg.focal_gamma)}
+        out.update(loss_boxes(box_l, x.get("iou"), assign, targets, num_boxes))
 
-        if with_masks and (ctrl is not None or dense_masks is not None):
+        if with_masks and ("ctrl" in x or "masks" in x):
             sel_q, sel_valid = select_matched(assign, max_matched)
-            if dense_masks is not None:
+            if "masks" in x:
                 pred_masks = jnp.take_along_axis(
-                    dense_masks[lid], sel_q[..., None, None], axis=1)
+                    x["masks"], sel_q[..., None, None], axis=1)
             else:
                 pred_masks = predict_matched_masks(
-                    sel_q, ctrl[lid], refs[lid], mask_feats, image_sizes,
+                    sel_q, x["ctrl"], x["refs"], mask_feats, image_sizes,
                     weight_nums, bias_nums, dyn_channels)
             gt_idx = jnp.take_along_axis(assign, sel_q, axis=1)
             gt_idx = jnp.clip(gt_idx, 0, targets.masks.shape[1] - 1)
             gt_m = jnp.take_along_axis(
                 targets.masks, gt_idx[..., None, None], axis=1)
-            # crop/pad GT masks to prediction resolution
             ph, pw = pred_masks.shape[2], pred_masks.shape[3]
             gt_m = gt_m[:, :, :ph, :pw]
             gt_m = jnp.pad(gt_m, ((0, 0), (0, 0), (0, ph - gt_m.shape[2]),
                                   (0, pw - gt_m.shape[3])))
-            lm = loss_masks_pointwise(k_pts, pred_masks, gt_m, sel_valid,
-                                      num_boxes, cfg)
-            for k, v in lm.items():
-                losses[f"{k}{suffix}"] = v
+            out.update(loss_masks_pointwise(k_pts, pred_masks, gt_m, sel_valid,
+                                            num_boxes, cfg))
+        return out
+
+    _, stacked = jax.lax.scan(lambda c, x: (c, layer_losses(x)), None, xs)
+    losses: Dict[str, jnp.ndarray] = {}
+    for name, vals in stacked.items():
+        for lid in range(num_layers):
+            suffix = "" if lid == num_layers - 1 else f"_{lid}"
+            losses[f"{name}{suffix}"] = vals[lid]
     return losses
 
 

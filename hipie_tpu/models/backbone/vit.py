@@ -146,8 +146,18 @@ class ViTBlock(nn.Module):
     input_size: Tuple[int, int] = (64, 64)
     dtype: Any = jnp.float32
 
+    def _drop_path(self, y, rate, deterministic):
+        if deterministic:
+            return y
+        keep = 1.0 - rate
+        rng = self.make_rng("dropout")
+        shape = (y.shape[0],) + (1,) * (y.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return y * mask.astype(y.dtype) / jnp.maximum(keep, 1e-6)
+
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, drop_path_rate=None):
+        rate = self.drop_path if drop_path_rate is None else drop_path_rate
         shortcut = x
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         if self.window_size > 0:
@@ -162,14 +172,37 @@ class ViTBlock(nn.Module):
         )(y)
         if self.window_size > 0:
             y = window_unpartition(y, self.window_size, padded, hw)
-        x = shortcut + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
+        x = shortcut + self._drop_path(y, rate, deterministic)
 
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
         y = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
-        return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
+        return x + self._drop_path(y, rate, deterministic)
+
+
+class _ViTBlockScanBody(nn.Module):
+    """Scan body for a contiguous run of same-window-size ViT blocks: the 20
+    global blocks of ViT-H compile once instead of 20 times."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    use_rel_pos: bool
+    window_size: int
+    input_size: Tuple[int, int]
+    deterministic: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, rate):
+        x = ViTBlock(
+            dim=self.dim, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+            use_rel_pos=self.use_rel_pos, window_size=self.window_size,
+            input_size=self.input_size, dtype=self.dtype, name="block",
+        )(x, self.deterministic, rate)
+        return x, None
 
 
 class ViTDet(nn.Module):
@@ -206,21 +239,33 @@ class ViTDet(nn.Module):
         ).astype(self.dtype)
 
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
-        block_cls = ViTBlock
-        if self.remat:
-            block_cls = nn.remat(ViTBlock, static_argnums=(2,))
-        for i in range(self.depth):
-            x = block_cls(
-                dim=self.embed_dim,
-                num_heads=self.num_heads,
-                mlp_ratio=self.mlp_ratio,
-                drop_path=dpr[i],
-                use_rel_pos=self.use_rel_pos,
-                window_size=self.window_size if i in self.window_block_indexes else 0,
-                input_size=(self.img_size // self.patch_size,) * 2,
-                dtype=self.dtype,
-                name=f"blocks_{i}",
-            )(x, deterministic)
+        # group contiguous same-window-size blocks and nn.scan each run.
+        runs = []         # (start, length, window_size)
+        i = 0
+        while i < self.depth:
+            ws = self.window_size if i in self.window_block_indexes else 0
+            j = i
+            while j < self.depth and \
+                    (self.window_size if j in self.window_block_indexes else 0) == ws:
+                j += 1
+            runs.append((i, j - i, ws))
+            i = j
+        input_size = (self.img_size // self.patch_size,) * 2
+        for start, length, ws in runs:
+            body = _ViTBlockScanBody
+            if self.remat:
+                body = nn.remat(_ViTBlockScanBody)
+            scan = nn.scan(body, variable_axes={"params": 0},
+                           split_rngs={"params": True, "dropout": True},
+                           length=length)
+            rates = jnp.asarray(dpr[start:start + length], jnp.float32)
+            x, _ = scan(
+                dim=self.embed_dim, num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio, use_rel_pos=self.use_rel_pos,
+                window_size=ws, input_size=input_size,
+                deterministic=deterministic, dtype=self.dtype,
+                name=f"run_{start}",
+            )(x, rates)
 
         outputs = {}
         if "res3" in self.out_features:

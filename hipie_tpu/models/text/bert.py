@@ -64,6 +64,25 @@ class BertLayer(nn.Module):
         return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="output_norm")(x + y)
 
 
+class _BertLayerScanBody(nn.Module):
+    """Scan body: carry = hidden states, broadcast = additive attention bias.
+
+    The 12 layers compile ONCE via nn.scan (params stacked on axis 0) instead of
+    unrolling — a major XLA compile-time win on CPU and TPU alike.
+    """
+
+    hidden_size: int
+    num_heads: int
+    intermediate_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_bias):
+        x = BertLayer(self.hidden_size, self.num_heads, self.intermediate_size,
+                      dtype=self.dtype, name="layer")(x, attn_bias)
+        return x, None
+
+
 class BertModel(nn.Module):
     """BERT encoder returning the last hidden state (pooler not needed)."""
 
@@ -100,12 +119,14 @@ class BertModel(nn.Module):
         if block_mask is not None:
             bias = bias + jnp.where(block_mask[:, None, :, :], 0.0, neg)
 
-        layer_cls = BertLayer
+        body = _BertLayerScanBody
         if self.remat:
-            layer_cls = nn.remat(BertLayer)
-        for i in range(self.num_layers):
-            x = layer_cls(self.hidden_size, self.num_heads, self.intermediate_size,
-                          dtype=self.dtype, name=f"layer_{i}")(x, bias)
+            body = nn.remat(_BertLayerScanBody)
+        scan = nn.scan(
+            body, variable_axes={"params": 0}, split_rngs={"params": True},
+            in_axes=nn.broadcast, length=self.num_layers)
+        x, _ = scan(self.hidden_size, self.num_heads, self.intermediate_size,
+                    dtype=self.dtype, name="layers")(x, bias)
         return x
 
 

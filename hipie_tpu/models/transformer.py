@@ -107,6 +107,38 @@ class DeformableDecoderLayer(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt + y)
 
 
+class _EncoderScanBody(nn.Module):
+    """One encoder step: VLFuse bi-attention -> deformable layer [-> BERT layer].
+
+    nn.scan'ed so the N identical layers compile once (params stacked on axis 0;
+    the reference's layers are independent deep copies, so stacking is exact).
+    """
+
+    cfg: TransformerConfig
+    lang_dim: int
+    spatial_shapes: Shapes
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, pos_flat, enc_ref, mask_flat, lang_masks):
+        c = self.cfg
+        memory, l_hidden = carry
+        if c.use_vl_fusion:
+            memory, l_hidden = BiAttentionBlock(
+                v_dim=c.d_model, l_dim=self.lang_dim, embed_dim=c.vl_hidden_dim,
+                num_heads=c.vl_nheads, init_gamma=1.0 / c.num_encoder_layers,
+                dtype=self.dtype, name="vl_layer",
+            )(memory, l_hidden, lang_masks)
+        memory = DeformableEncoderLayer(c, dtype=self.dtype, name="layer")(
+            memory, pos_flat, enc_ref, self.spatial_shapes, mask_flat)
+        if c.use_extra_bert_layers:
+            neg = jnp.float32(-1e9)
+            bias = jnp.where(lang_masks[:, None, None, :] > 0, 0.0, neg)
+            l_hidden = BertLayer(self.lang_dim, 12, 3072, dtype=self.dtype,
+                                 name="lang_layer")(l_hidden, bias)
+        return (memory, l_hidden), None
+
+
 class VLDeformableTransformer(nn.Module):
     """Full encoder + two-stage selection + decoder. See module docstring."""
 
@@ -150,28 +182,18 @@ class VLDeformableTransformer(nn.Module):
         pos_flat = jnp.concatenate(pos_flat, axis=1).astype(self.dtype)
         valid_ratios = jnp.stack(valid_ratios, axis=1)        # (B, L, 2)
 
-        # ---- encoder: VLFuse -> deformable layer [-> bert layer] --------------
+        # ---- encoder: scanned [VLFuse -> deformable layer [-> bert layer]] ----
         enc_ref = encoder_reference_points(spatial_shapes, valid_ratios)
-        memory = src_flat
-        l_hidden = lang_hidden.astype(self.dtype)
-        enc_layer_cls = DeformableEncoderLayer
+        body = _EncoderScanBody
         if c.remat:
-            enc_layer_cls = nn.remat(DeformableEncoderLayer)
-        for i in range(c.num_encoder_layers):
-            if c.use_vl_fusion:
-                memory, l_hidden = BiAttentionBlock(
-                    v_dim=c.d_model, l_dim=self.lang_dim, embed_dim=c.vl_hidden_dim,
-                    num_heads=c.vl_nheads,
-                    init_gamma=1.0 / c.num_encoder_layers,
-                    dtype=self.dtype, name=f"vl_layers_{i}",
-                )(memory, l_hidden, lang_masks)
-            memory = enc_layer_cls(c, dtype=self.dtype, name=f"enc_layers_{i}")(
-                memory, pos_flat, enc_ref, spatial_shapes, mask_flat)
-            if c.use_extra_bert_layers:
-                neg = jnp.float32(-1e9)
-                bias = jnp.where(lang_masks[:, None, None, :] > 0, 0.0, neg)
-                l_hidden = BertLayer(self.lang_dim, 12, 3072, dtype=self.dtype,
-                                     name=f"lang_layers_{i}")(l_hidden, bias)
+            body = nn.remat(_EncoderScanBody)
+        scan = nn.scan(body, variable_axes={"params": 0},
+                       split_rngs={"params": True}, in_axes=nn.broadcast,
+                       length=c.num_encoder_layers)
+        (memory, l_hidden), _ = scan(
+            c, self.lang_dim, spatial_shapes, dtype=self.dtype,
+            name="encoder")((src_flat, lang_hidden.astype(self.dtype)),
+                            pos_flat, enc_ref, mask_flat, lang_masks)
 
         # ---- pooled language feature for grounding ----------------------------
         lang_pool = agg_lang_feat(l_hidden, lang_masks)                  # (B, lang_dim)
@@ -254,7 +276,7 @@ class VLDeformableTransformer(nn.Module):
         # ---- decoder with iterative refinement ---------------------------------
         dec_layer_cls = DeformableDecoderLayer
         if c.remat:
-            dec_layer_cls = nn.remat(DeformableDecoderLayer)
+            dec_layer_cls = nn.remat(DeformableDecoderLayer, static_argnums=(5,))
         ref_point_head = MLP(c.d_model, c.d_model, 2, dtype=self.dtype,
                              name="ref_point_head")
         hs_list, coords_list, refs_list = [], [], []

@@ -1,0 +1,67 @@
+"""ctypes bindings for the native evaluation kernels (_evalcore.so).
+
+Falls back to the pure-numpy implementations in hipie_tpu/evaluation when the
+shared library hasn't been built (hipie_tpu/native/build.sh).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "_evalcore.so")
+_lib: Optional[ctypes.CDLL] = None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is None and os.path.exists(_LIB_PATH):
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.mask_iou.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        lib.coco_match.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def mask_iou_native(dets: np.ndarray, gts: np.ndarray,
+                    iscrowd: np.ndarray) -> np.ndarray:
+    """dets (nd, hw) uint8, gts (ng, hw) uint8 -> (nd, ng) float64."""
+    lib = get_lib()
+    nd, hw = dets.shape
+    ng = gts.shape[0]
+    out = np.zeros((nd, ng), np.float64)
+    dets = np.ascontiguousarray(dets, np.uint8)
+    gts = np.ascontiguousarray(gts, np.uint8)
+    crowd = np.ascontiguousarray(iscrowd, np.uint8)
+    lib.mask_iou(dets.ctypes.data, nd, gts.ctypes.data, ng, hw,
+                 crowd.ctypes.data, out.ctypes.data)
+    return out
+
+
+def coco_match_native(ious: np.ndarray, gt_ignore: np.ndarray,
+                      gt_iscrowd: np.ndarray, thrs: np.ndarray):
+    lib = get_lib()
+    D, G = ious.shape
+    T = len(thrs)
+    dt_m = np.zeros((T, D), np.uint8)
+    dt_ig = np.zeros((T, D), np.uint8)
+    gt_m = np.zeros((T, G), np.int64)
+    ious = np.ascontiguousarray(ious, np.float64)
+    lib.coco_match(ious.ctypes.data, D, G,
+                   np.ascontiguousarray(gt_ignore, np.uint8).ctypes.data,
+                   np.ascontiguousarray(gt_iscrowd, np.uint8).ctypes.data,
+                   np.ascontiguousarray(thrs, np.float64).ctypes.data, T,
+                   dt_m.ctypes.data, dt_ig.ctypes.data, gt_m.ctypes.data)
+    return dt_m.astype(bool), dt_ig.astype(bool), gt_m

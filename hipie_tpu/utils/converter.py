@@ -119,9 +119,10 @@ def convert_hf_bert(sd: Dict[str, Any], num_layers: int = 12,
         "token_type_embeddings": t_embed(sd, f"{p}embeddings.token_type_embeddings"),
         "embeddings_norm": t_norm(sd, f"{p}embeddings.LayerNorm"),
     }
+    per_layer = []
     for i in range(num_layers):
         lp = f"{p}encoder.layer.{i}"
-        out[f"layer_{i}"] = {
+        per_layer.append({
             "attention": {
                 "query": t_dense_general(sd, f"{lp}.attention.self.query", heads),
                 "key": t_dense_general(sd, f"{lp}.attention.self.key", heads),
@@ -133,8 +134,18 @@ def convert_hf_bert(sd: Dict[str, Any], num_layers: int = 12,
             "intermediate": t_linear(sd, f"{lp}.intermediate.dense"),
             "output": t_linear(sd, f"{lp}.output.dense"),
             "output_norm": t_norm(sd, f"{lp}.output.LayerNorm"),
-        }
+        })
+    # layers are nn.scan'ed: stack per-layer leaves on axis 0.
+    out["layers"] = {"layer": stack_trees(per_layer)}
     return out
+
+
+def stack_trees(trees):
+    """Stack a list of identical nested dicts leaf-wise on a new axis 0."""
+    first = trees[0]
+    if isinstance(first, dict):
+        return {k: stack_trees([t[k] for t in trees]) for k in first}
+    return np.stack(trees)
 
 
 def convert_d2_resnet(sd: Dict[str, Any], depth: int = 50,
@@ -161,15 +172,21 @@ def convert_d2_resnet(sd: Dict[str, Any], depth: int = 50,
     return out
 
 
-def convert_vit(sd: Dict[str, Any], depth: int, prefix: str = "") -> Dict[str, Any]:
-    """ViTDet backbone state_dict -> hipie_tpu ViTDet params."""
+def convert_vit(sd: Dict[str, Any], depth: int, prefix: str = "",
+                window_block_indexes: Sequence[int] = (0, 1, 3, 4, 6, 7, 9, 10),
+                window_size: int = 14) -> Dict[str, Any]:
+    """ViTDet backbone state_dict -> hipie_tpu ViTDet params.
+
+    Blocks are grouped into nn.scan'ed same-window-size runs (run_{start}/block),
+    so per-run leaves stack along axis 0 — mirror that grouping here."""
     p = prefix
     out: Dict[str, Any] = {
         "patch_embed": t_conv(sd, f"{p}patch_embed.proj"),
         "pos_embed": np.asarray(sd[f"{p}pos_embed"]),
         "fpn1": t_conv_transpose(sd, f"{p}fpn1.0"),
     }
-    for i in range(depth):
+
+    def block(i):
         bp = f"{p}blocks.{i}"
         blk = {
             "norm1": t_norm(sd, f"{bp}.norm1"),
@@ -184,7 +201,16 @@ def convert_vit(sd: Dict[str, Any], depth: int, prefix: str = "") -> Dict[str, A
         if f"{bp}.attn.rel_pos_h" in sd:
             blk["attn"]["rel_pos_h"] = np.asarray(sd[f"{bp}.attn.rel_pos_h"])
             blk["attn"]["rel_pos_w"] = np.asarray(sd[f"{bp}.attn.rel_pos_w"])
-        out[f"blocks_{i}"] = blk
+        return blk
+
+    i = 0
+    while i < depth:
+        ws = window_size if i in window_block_indexes else 0
+        j = i
+        while j < depth and (window_size if j in window_block_indexes else 0) == ws:
+            j += 1
+        out[f"run_{i}"] = {"block": stack_trees([block(k) for k in range(i, j)])}
+        i = j
     return out
 
 

@@ -74,32 +74,40 @@ def _msda_kernel(value_ref, loc_ref, w_ref, out_ref, *, spatial_shapes: Shapes):
     out_ref[:] = acc
 
 
-def _msda_pallas_fwd(value, spatial_shapes, loc, w, interpret=False):
+def _msda_pallas_fwd(value, spatial_shapes, loc, w, interpret=False,
+                     q_tile: int = 128):
     b, s, m, d = value.shape
     q = loc.shape[1]
     L, p = loc.shape[3], loc.shape[4]
+    # pad queries to a tile multiple (static).
+    q_pad = (q_tile - q % q_tile) % q_tile
+    if q_pad:
+        loc = jnp.pad(loc, ((0, 0), (0, q_pad), (0, 0), (0, 0), (0, 0), (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, q_pad), (0, 0), (0, 0), (0, 0)))
+    qp = q + q_pad
     # (B, S, M, D) -> (B*M, S, D); locs (B, Q, M, L, P, 2) -> (B*M, Q, L, P, 2)
     v = jnp.transpose(value, (0, 2, 1, 3)).reshape(b * m, s, d)
-    lc = jnp.transpose(loc, (0, 2, 1, 3, 4, 5)).reshape(b * m, q, L, p, 2)
-    ww = jnp.transpose(w, (0, 2, 1, 3, 4)).reshape(b * m, q, L, p)
+    lc = jnp.transpose(loc, (0, 2, 1, 3, 4, 5)).reshape(b * m, qp, L, p, 2)
+    ww = jnp.transpose(w, (0, 2, 1, 3, 4)).reshape(b * m, qp, L, p)
 
     out = pl.pallas_call(
         functools.partial(_msda_kernel, spatial_shapes=spatial_shapes),
-        grid=(b * m,),
+        grid=(b * m, qp // q_tile),
         in_specs=[
-            pl.BlockSpec((None, s, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((None, s, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, q, L, p, 2), lambda i: (i, 0, 0, 0, 0),
+            pl.BlockSpec((None, q_tile, L, p, 2), lambda i, j: (i, j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, q, L, p), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((None, q_tile, L, p), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, q, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((None, q_tile, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * m, q, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b * m, qp, d), jnp.float32),
         interpret=interpret,
     )(v, lc, ww)
-    out = out.reshape(b, m, q, d).transpose(0, 2, 1, 3).reshape(b, q, m * d)
+    out = out.reshape(b, m, qp, d)[:, :, :q]
+    out = out.transpose(0, 2, 1, 3).reshape(b, q, m * d)
     return out.astype(value.dtype)
 
 

@@ -47,6 +47,11 @@ def grounding_to_od_logits(
 ) -> jnp.ndarray:
     """(Q, L) token logits -> (Q, C) class logits. Masked classes get -9999."""
     logits = logits.astype(jnp.float32)
+    if logits.shape[-1] == 1:
+        # grounding: the pooled-text head already emits one "class" logit
+        # (reference positive_map_label_to_token = {1: [0]}, hipie_img.py:323).
+        return logits
+
     if max_pool:
         masked = jnp.where(maps.token_mask[None], logits[:, None, :],
                            jnp.finfo(jnp.float32).min)

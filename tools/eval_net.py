@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Evaluation CLI: run a dataset through the predictor and print metrics.
+
+reference: projects/HIPIE/train_net.py --eval-only path (Trainer.test +
+inference_on_dataset + the evaluator zoo).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="coco_2017_val")
+    p.add_argument("--preset", default="r50_coco_panoptic")
+    p.add_argument("--weights", default="")
+    p.add_argument("--vocab", default="")
+    p.add_argument("--max-images", type=int, default=0)
+    p.add_argument("--tasks", default="bbox,segm")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from hipie_tpu import presets
+    from hipie_tpu.data.datasets import get_dataset
+    from hipie_tpu.evaluation.evaluator import (
+        evaluate_detection_dataset, evaluate_refcoco_dataset)
+    from hipie_tpu.models.hipie import HIPIEModel
+    from hipie_tpu.models.text.tokenizer import WordPieceTokenizer
+    from hipie_tpu.predictor import HIPIEPredictor
+    from hipie_tpu.train.checkpoint import resume_or_load
+    from hipie_tpu.train.step import TrainState
+
+    cfg = getattr(presets, args.preset)()
+    tok = (WordPieceTokenizer.from_vocab_file(args.vocab) if args.vocab
+           else WordPieceTokenizer.toy())
+    model = HIPIEModel(cfg.model)
+    L = cfg.data.max_text_len
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((1, 64, 64), bool), jnp.zeros((1, L), jnp.int32),
+        jnp.ones((1, L), jnp.int32), jnp.asarray([[64, 64]]))
+    if args.weights:
+        state = TrainState(params, None, 0)
+        state, _ = resume_or_load("", state, args.weights, resume=False)
+        params = state.params
+    predictor = HIPIEPredictor(cfg, params, tok)
+
+    records = get_dataset(args.dataset)
+    max_images = args.max_images or None
+    if "refcoco" in args.dataset:
+        results = evaluate_refcoco_dataset(predictor, records, max_images)
+    else:
+        meta = records[0]
+        results = evaluate_detection_dataset(
+            predictor, records, len(meta["class_names"]),
+            meta["class_is_thing"], tasks=args.tasks.split(","),
+            max_images=max_images)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

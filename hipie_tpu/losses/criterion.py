@@ -291,6 +291,45 @@ def criterion_pass(
     return losses
 
 
+def encoder_loss_pass(
+    enc_class: jnp.ndarray,        # (B, S, K) fp32 logits (K = text len or 1)
+    enc_boxes: jnp.ndarray,        # (B, S, 4) sigmoided coords
+    targets: Targets,
+    text_mask: jnp.ndarray,
+    cfg: LossConfig,
+    still_cls: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Two-stage encoder-proposal loss (the reference's '_enc'-suffixed losses,
+    attached to the gt criterion pass via outputs['enc_outputs'],
+    ddetrs_dn.py post_processing :796-799). Hungarian (auction) matching over
+    all encoder positions; class + box losses, no masks."""
+    b = enc_class.shape[0]
+    k = enc_class.shape[-1]
+    if still_cls or k == 1:
+        # binary objectness: positive map = single always-on channel.
+        pm = jnp.ones(targets.positive_map.shape[:2] + (1,), jnp.float32)
+        tm = jnp.ones((b, 1), jnp.float32)
+    else:
+        pm = targets.positive_map
+        tm = text_mask
+    t = targets._replace(positive_map=pm)
+
+    assign = jax.vmap(
+        lambda c, bx, tb, pmap, tv: hungarian_vl_match(
+            jax.nn.sigmoid(c.astype(jnp.float32)), bx, tb, pmap, tv,
+            cost_class=cfg.class_weight, cost_bbox=cfg.bbox_weight,
+            cost_giou=cfg.giou_weight))(
+        enc_class, enc_boxes, targets.boxes, pm, targets.valid)
+    assign = jax.lax.stop_gradient(assign)
+    num_boxes = jnp.clip(targets.valid.sum().astype(jnp.float32), 1.0)
+    out = {"loss_ce_enc": loss_labels_vl(enc_class, assign, t, tm, num_boxes,
+                                         alpha=cfg.focal_alpha,
+                                         gamma=cfg.focal_gamma)}
+    lb = loss_boxes(enc_boxes, None, assign, t, num_boxes)
+    out.update({f"{kk}_enc": v for kk, v in lb.items()})
+    return out
+
+
 def merge_loss_dicts(dicts: Sequence[Dict[str, jnp.ndarray]],
                      weights: Sequence[float]) -> Dict[str, jnp.ndarray]:
     """Weighted merge (reference ddetrs_dn.py merge_dict :233-243)."""

@@ -239,6 +239,11 @@ class HIPIEDetector(nn.Module):
                     self.mask_dino_cls_embeds[i](cls.astype(self.compute_dtype), lang_md)
                     for i, cls in enumerate(md["aux"]["classes"])
                 ]
+                # two-stage init ('interm') head uses the second-to-last clone
+                # (post_process_maskdino idx=-2, ddetrs_dn.py:661).
+                md["interm_outputs"]["pred_logits"] = self.mask_dino_cls_embeds[-2](
+                    md["interm_outputs"]["pred_logits"].astype(self.compute_dtype),
+                    lang_md)
             outputs["maskdino"] = md
         return outputs
 

@@ -28,6 +28,7 @@ from hipie_tpu.losses.criterion import (
     Targets,
     apply_weight_dict,
     criterion_pass,
+    encoder_loss_pass,
     merge_loss_dicts,
 )
 from hipie_tpu.models.dn import prepare_cdn
@@ -118,6 +119,13 @@ def make_loss_fn(model, cfg: HIPIEConfig, task: str = "detection"):
             losses_gt = criterion_pass(
                 k_gt, slice_layers(0, pad, False), t,
                 matcher="fixed", fixed_assign=cdn.gt_assign, **common)
+            # encoder-proposal loss rides the gt pass (reference post_processing
+            # attaches enc_outputs only to out_gt, ddetrs_dn.py :700-704).
+            losses_gt.update(encoder_loss_pass(
+                out["enc_outputs_class"],
+                jax.nn.sigmoid(out["enc_outputs_coord_unact"]),
+                t, batch.lang_mask, lc,
+                still_cls=mc.still_cls_for_encoder))
             passes.append(losses_gt)
             weights.append(1.0)
         merged = merge_loss_dicts(passes, weights)
@@ -138,6 +146,22 @@ def make_loss_fn(model, cfg: HIPIEConfig, task: str = "detection"):
                 image_sizes=batch.image_sizes, cfg=md_lc,
                 weight_nums=weight_nums, bias_nums=bias_nums,
                 max_matched=max_matched)
+            # interm (two-stage init) supervision, '_interm'-suffixed in the
+            # reference maskdino criterion.
+            interm = md["interm_outputs"]
+            interm_layers = {
+                "classes": interm["pred_logits"][None],
+                "boxes": interm["pred_boxes"][None],
+                "masks": interm["pred_masks"][None],
+            }
+            k_md2 = jax.random.fold_in(k_md, 1)
+            losses_interm = criterion_pass(
+                k_md2, interm_layers, t, matcher="hungarian",
+                text_mask=batch.lang_mask, mask_feats=out["mask_feats"],
+                image_sizes=batch.image_sizes, cfg=md_lc,
+                weight_nums=weight_nums, bias_nums=bias_nums,
+                max_matched=max_matched)
+            losses_md.update({f"{k}_interm": v for k, v in losses_interm.items()})
             total = total + apply_weight_dict(losses_md, md_lc)
             metrics.update({f"{k}_maskdino": v for k, v in losses_md.items()
                             if "_" not in k[5:]})

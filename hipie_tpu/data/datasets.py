@@ -165,6 +165,8 @@ def load_image(path: str) -> np.ndarray:
 
 def materialize_record(record: Dict[str, Any]) -> Dict[str, Any]:
     """Load the image + decode masks for one record (called by the loader)."""
+    if record.get("pan_seg_file"):
+        record = panoptic_record_to_instances(record)
     out = dict(record)
     out["image"] = load_image(record["file_name"])
     h, w = out["image"].shape[:2]
@@ -178,6 +180,77 @@ def materialize_record(record: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def load_panoptic_png(path: str) -> np.ndarray:
+    """COCO panoptic PNG -> (H, W) int32 segment ids (R + 256G + 65536B)."""
+    import cv2
+    img = cv2.imread(path, cv2.IMREAD_COLOR)[:, :, ::-1].astype(np.int64)
+    return (img[..., 0] + img[..., 1] * 256 + img[..., 2] * 65536).astype(np.int32)
+
+
+def load_coco_panoptic(json_file: str, image_root: str,
+                       panoptic_root: str) -> List[Dict[str, Any]]:
+    """COCO panoptic annotations (panopticapi format) -> records with lazy
+    panoptic GT (pan_seg_file + segments), thing+stuff label space."""
+    with open(json_file) as f:
+        coco = json.load(f)
+    cats = sorted(coco["categories"], key=lambda c: c["id"])
+    id_map = {c["id"]: i for i, c in enumerate(cats)}
+    class_names = [c["name"] for c in cats]
+    class_is_thing = [bool(c.get("isthing", 1)) for c in cats]
+    anns = {a["image_id"]: a for a in coco["annotations"]}
+    records = []
+    for img in coco["images"]:
+        a = anns.get(img["id"])
+        segments = []
+        if a is not None:
+            for s in a["segments_info"]:
+                segments.append({"id": s["id"],
+                                 "category_id": id_map[s["category_id"]],
+                                 "iscrowd": s.get("iscrowd", 0),
+                                 "area": s.get("area", 0)})
+        records.append({
+            "file_name": os.path.join(image_root, img["file_name"]),
+            "image_id": img["id"],
+            "height": img["height"], "width": img["width"],
+            "pan_seg_file": (os.path.join(panoptic_root, a["file_name"])
+                             if a is not None else None),
+            "pan_segments": segments,
+            "annotations": [],       # instance anns derivable from the png
+            "class_names": class_names,
+            "class_is_thing": class_is_thing,
+            "task": "detection",
+        })
+    return records
+
+
+def panoptic_record_to_instances(record: Dict[str, Any]) -> Dict[str, Any]:
+    """Decode the panoptic PNG into per-segment instance annotations + the GT
+    maps used by the PQ / mIoU evaluators (sem_seg_gt with ignore=255)."""
+    out = dict(record)
+    pan = load_panoptic_png(record["pan_seg_file"])
+    out["pan_seg_gt"] = pan
+    sem = np.full(pan.shape, 255, np.int32)
+    anns = []
+    for s in record["pan_segments"]:
+        m = pan == s["id"]
+        sem[m] = s["category_id"]
+        if not m.any():
+            continue
+        ys, xs = np.where(m)
+        anns.append({
+            "bbox": np.array([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1],
+                             np.float32),
+            "category_id": s["category_id"],
+            "is_thing": record["class_is_thing"][s["category_id"]],
+            "segmentation": m.astype(np.uint8),
+            "area": float(m.sum()),
+            "iscrowd": s.get("iscrowd", 0),
+        })
+    out["sem_seg_gt"] = sem
+    out["annotations"] = anns
+    return out
+
+
 # -- builtin registrations (lazy, gated on the dataset root) ------------------
 
 def _register_builtin():
@@ -187,16 +260,21 @@ def _register_builtin():
                             "coco/train2017"),
         "coco_2017_val": ("coco/annotations/instances_val2017.json",
                           "coco/val2017"),
-        "coco_panoptic_train": ("coco/annotations/panoptic2instances_train2017.json",
-                                "coco/train2017"),
-        "coco_panoptic_val": ("coco/annotations/panoptic2instances_val2017.json",
-                              "coco/val2017"),
     }
     for name, (js, imroot) in specs.items():
         register_dataset(
             name,
             (lambda js=js, imroot=imroot: load_coco_json(
                 os.path.join(root, js), os.path.join(root, imroot))),
+        )
+    for name, split in [("coco_panoptic_train", "train2017"),
+                        ("coco_panoptic_val", "val2017")]:
+        register_dataset(
+            name,
+            (lambda split=split: load_coco_panoptic(
+                os.path.join(root, f"coco/annotations/panoptic_{split}.json"),
+                os.path.join(root, f"coco/{split}"),
+                os.path.join(root, f"coco/panoptic_{split}"))),
         )
     for split in ["refcoco-mixed", "refcoco-unc-val", "refcocoplus-unc-val",
                   "refcocog-umd-val"]:

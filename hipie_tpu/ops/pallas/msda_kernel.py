@@ -8,9 +8,17 @@ attention-weighted reduce over levels and points happens entirely on-chip, so no
 (B, M, Q, P, D) intermediates ever touch HBM (the XLA formulation in
 hipie_tpu/ops/ms_deform_attn.py materializes them between fusions).
 
-The gather itself uses jnp.take on the VMEM-resident slab. Backward is served by
-the XLA formulation (this kernel is forward-only and wrapped in a custom_vjp
-whose bwd recomputes via the jnp path).
+The gather itself is a one-hot MXU contraction per level (this Mosaic toolchain
+only lowers arbitrary row gathers that way — probed: jnp.take/advanced indexing
+fail with 'Shape mismatch in input, indices and output'). Backward is served by
+the XLA formulation (forward-only kernel wrapped in a custom_vjp whose bwd
+recomputes via the jnp path).
+
+STATUS: numerically verified in interpret mode (tests/test_pallas_msda.py); the
+remote TPU compile service in this environment kills/hangs on the kernel at
+encoder scale, so the default compute path remains the XLA gather formulation
+(hipie_tpu/ops/ms_deform_attn.py), which profiles HBM-bandwidth-bound as
+expected for a pure gather op. Revisit with direct-toolchain access.
 """
 
 from __future__ import annotations

@@ -64,31 +64,27 @@ def _bilinear_gather_level(
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    # Corner weights (bilinear).
-    w00 = (1.0 - ly) * (1.0 - lx)
-    w01 = (1.0 - ly) * lx
-    w10 = ly * (1.0 - lx)
-    w11 = ly * lx
-
-    def corner(yi, xi, cw):
+    # 4 corners fused into ONE gather of 4P rows per (query, head): one XLA
+    # gather op + one weighted reduce instead of 4 gather->mul->add chains —
+    # roughly half the HBM round-trips for this bandwidth-bound op.
+    corners = ((y0i, x0i, (1.0 - ly) * (1.0 - lx)),
+               (y0i, x0i + 1, (1.0 - ly) * lx),
+               (y0i + 1, x0i, ly * (1.0 - lx)),
+               (y0i + 1, x0i + 1, ly * lx))
+    idx_list, w_list = [], []
+    for yi, xi, cw in corners:
         valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        yc = jnp.clip(yi, 0, h - 1)
-        xc = jnp.clip(xi, 0, w - 1)
-        flat = yc * w + xc                                   # (B, Q, M, P)
-        flat = jnp.transpose(flat, (0, 2, 1, 3))              # (B, M, Q, P)
-        # Gather rows: vmap over batch and head.
-        gathered = jax.vmap(jax.vmap(lambda v, i: jnp.take(v, i.reshape(-1), axis=0)))(
-            value_l, flat
-        )                                                     # (B, M, Q*P, D)
-        gathered = gathered.reshape(b, m, q, p, d)
-        cw = jnp.transpose(cw * valid.astype(cw.dtype), (0, 2, 1, 3))  # (B, M, Q, P)
-        return gathered * cw[..., None]
+        idx_list.append(jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1))
+        w_list.append(cw * valid.astype(cw.dtype))
+    flat = jnp.stack(idx_list, axis=-1)                  # (B, Q, M, P, 4)
+    cw = jnp.stack(w_list, axis=-1)                      # (B, Q, M, P, 4)
+    flat = jnp.transpose(flat, (0, 2, 1, 3, 4))          # (B, M, Q, P, 4)
+    cw = jnp.transpose(cw, (0, 2, 1, 3, 4))
 
-    out = corner(y0i, x0i, w00)
-    out += corner(y0i, x0i + 1, w01)
-    out += corner(y0i + 1, x0i, w10)
-    out += corner(y0i + 1, x0i + 1, w11)
-    return out
+    gathered = jax.vmap(jax.vmap(lambda v, i: jnp.take(v, i.reshape(-1), axis=0)))(
+        value_l, flat)                                   # (B, M, Q*P*4, D)
+    gathered = gathered.reshape(b, m, q, p, 4, d)
+    return jnp.sum(gathered * cw[..., None], axis=4)     # (B, M, Q, P, D)
 
 
 def ms_deform_attn_jnp(

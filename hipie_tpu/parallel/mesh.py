@@ -35,32 +35,40 @@ def create_mesh(dp: int = -1, tp: int = 1,
     return Mesh(arr, ("data", "model"))
 
 
-# (regex over 'path/to/param', partition spec builder by rank)
+# (regex over 'path/to/param', partition spec). Scanned stacks (nn.scan) carry a
+# leading layer axis, hence the extra leading None in those specs.
 _TP_RULES = [
-    # ViT blocks: qkv + mlp fc1 shard output dim; proj + fc2 shard input dim.
-    (r"backbone/blocks_\d+/attn/qkv/kernel", P(None, "model")),
-    (r"backbone/blocks_\d+/attn/qkv/bias", P("model")),
-    (r"backbone/blocks_\d+/mlp_fc1/kernel", P(None, "model")),
-    (r"backbone/blocks_\d+/mlp_fc1/bias", P("model")),
-    (r"backbone/blocks_\d+/attn/proj/kernel", P("model", None)),
-    (r"backbone/blocks_\d+/mlp_fc2/kernel", P("model", None)),
-    # BERT: head-sharded attention + MLP.
-    (r"text_encoder/layer_\d+/attention/(query|key|value)/kernel", P(None, "model", None)),
-    (r"text_encoder/layer_\d+/attention/(query|key|value)/bias", P("model", None)),
-    (r"text_encoder/layer_\d+/attention/output_dense/kernel", P("model", None, None)),
-    (r"text_encoder/layer_\d+/intermediate/kernel", P(None, "model")),
-    (r"text_encoder/layer_\d+/intermediate/bias", P("model")),
-    (r"text_encoder/layer_\d+/output/kernel", P("model", None)),
-    # deformable transformer FFNs (encoder + decoder + maskdino).
+    # ViT blocks (scanned runs): qkv/fc1 shard the output dim; proj/fc2 the input.
+    (r".*backbone/run_\d+/block/attn/qkv/kernel", P(None, None, "model")),
+    (r".*backbone/run_\d+/block/attn/qkv/bias", P(None, "model")),
+    (r".*backbone/run_\d+/block/mlp_fc1/kernel", P(None, None, "model")),
+    (r".*backbone/run_\d+/block/mlp_fc1/bias", P(None, "model")),
+    (r".*backbone/run_\d+/block/attn/proj/kernel", P(None, "model", None)),
+    (r".*backbone/run_\d+/block/mlp_fc2/kernel", P(None, "model", None)),
+    # BERT (scanned layers): head-sharded attention + MLP.
+    (r"text_encoder/layers/layer/attention/(query|key|value)/kernel",
+     P(None, None, "model", None)),
+    (r"text_encoder/layers/layer/attention/(query|key|value)/bias",
+     P(None, "model", None)),
+    (r"text_encoder/layers/layer/attention/output_dense/kernel",
+     P(None, "model", None, None)),
+    (r"text_encoder/layers/layer/intermediate/kernel", P(None, None, "model")),
+    (r"text_encoder/layers/layer/intermediate/bias", P(None, "model")),
+    (r"text_encoder/layers/layer/output/kernel", P(None, "model", None)),
+    # main encoder (scanned): deformable FFN + VL bi-attention projections.
+    (r".*/encoder/layer/linear1/kernel", P(None, None, "model")),
+    (r".*/encoder/layer/linear1/bias", P(None, "model")),
+    (r".*/encoder/layer/linear2/kernel", P(None, "model", None)),
+    (r".*/encoder/vl_layer/attn/(v_proj|l_proj|values_v_proj|values_l_proj)/kernel",
+     P(None, None, "model", None)),
+    (r".*/encoder/vl_layer/attn/(v_proj|l_proj|values_v_proj|values_l_proj)/bias",
+     P(None, "model", None)),
+    (r".*/encoder/vl_layer/attn/(out_v_proj|out_l_proj)/kernel",
+     P(None, "model", None, None)),
+    # unrolled decoder / maskdino FFNs.
     (r".*/(enc_layers|dec_layers)_\d+/linear1/kernel", P(None, "model")),
     (r".*/(enc_layers|dec_layers)_\d+/linear1/bias", P("model")),
     (r".*/(enc_layers|dec_layers)_\d+/linear2/kernel", P("model", None)),
-    # VL fusion: head-sharded bi-attention.
-    (r".*/vl_layers_\d+/attn/(v_proj|l_proj|values_v_proj|values_l_proj)/kernel",
-     P(None, "model", None)),
-    (r".*/vl_layers_\d+/attn/(v_proj|l_proj|values_v_proj|values_l_proj)/bias",
-     P("model", None)),
-    (r".*/vl_layers_\d+/attn/(out_v_proj|out_l_proj)/kernel", P("model", None, None)),
 ]
 
 

@@ -140,8 +140,8 @@ class HIPIEDetector(nn.Module):
         dn_refs_unact: Optional[jnp.ndarray] = None,
         self_attn_mask: Optional[jnp.ndarray] = None,
         bg_queries_lang: Optional[jnp.ndarray] = None,
-        maskdino_dn_tgt: Optional[jnp.ndarray] = None,
         maskdino_dn_refs: Optional[jnp.ndarray] = None,
+        maskdino_dn_valid: Optional[jnp.ndarray] = None,
         maskdino_attn_mask: Optional[jnp.ndarray] = None,
         train: bool = False,
     ) -> Dict[str, Any]:
@@ -227,10 +227,12 @@ class HIPIEDetector(nn.Module):
             shared = None
             if c.maskdino.shared_encoder:
                 shared = mem_maps
+            lang_pool_md = agg_lang_feat(l_hidden, lang_masks)
             md = self.mask_dino(features, shared_memory_levels=shared,
-                                dn_tgt=maskdino_dn_tgt,
                                 dn_refs_unact=maskdino_dn_refs,
-                                self_attn_mask=maskdino_attn_mask)
+                                dn_valid=maskdino_dn_valid,
+                                self_attn_mask=maskdino_attn_mask,
+                                lang_pool=lang_pool_md)
             lang_md = lang_for_cls
             md["pred_logits"] = self.mask_dino_cls_embeds[-1](
                 md["pred_logits"].astype(self.compute_dtype), lang_md)

@@ -78,7 +78,7 @@ class HIPIEModel(nn.Module):
         train: bool = False,
         dn_labels=None, dn_valid=None, dn_refs_unact=None, self_attn_mask=None,
         bg_queries_lang=None,
-        maskdino_dn_tgt=None, maskdino_dn_refs=None, maskdino_attn_mask=None,
+        maskdino_dn_refs=None, maskdino_dn_valid=None, maskdino_attn_mask=None,
     ) -> Dict[str, Any]:
         x = self.normalize(images)
         x = jnp.where(pad_mask[..., None], 0.0, x)
@@ -87,7 +87,7 @@ class HIPIEModel(nn.Module):
             x, pad_mask, lang_hidden, lang_attn_mask, image_sizes, task=task,
             dn_labels=dn_labels, dn_valid=dn_valid, dn_refs_unact=dn_refs_unact,
             self_attn_mask=self_attn_mask, bg_queries_lang=bg_queries_lang,
-            maskdino_dn_tgt=maskdino_dn_tgt, maskdino_dn_refs=maskdino_dn_refs,
+            maskdino_dn_refs=maskdino_dn_refs, maskdino_dn_valid=maskdino_dn_valid,
             maskdino_attn_mask=maskdino_attn_mask, train=train)
         return out
 

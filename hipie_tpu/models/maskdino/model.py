@@ -152,6 +152,8 @@ class MaskDINODecoder(nn.Module):
         dn_tgt: Optional[jnp.ndarray] = None,
         dn_refs_unact: Optional[jnp.ndarray] = None,
         self_attn_mask: Optional[jnp.ndarray] = None,
+        dn_valid: Optional[jnp.ndarray] = None,       # (B, pad)
+        lang_pool: Optional[jnp.ndarray] = None,      # (B, lang_dim)
     ) -> Dict[str, Any]:
         c = self.cfg
         b = level_maps[0].shape[0]
@@ -210,7 +212,18 @@ class MaskDINODecoder(nn.Module):
                   "pred_masks": interm_mask}
         tgt = jax.lax.stop_gradient(tgt_undetach)
 
-        if dn_tgt is not None:
+        if dn_refs_unact is not None:
+            if dn_tgt is None:
+                # seg-DN with dynamic label encoding: every dn slot carries the
+                # resized pooled language feature (maskdino_decoder.py
+                # prepare_for_dn with DYNAMIC_LABEL_ENC, reference :202-280).
+                from hipie_tpu.models.heads import FeatureResizer
+                le = FeatureResizer(c.hidden_dim, dtype=self.dtype,
+                                    name="resizer")(lang_pool)
+                dn_tgt = jnp.broadcast_to(
+                    le[:, None, :], (b, dn_refs_unact.shape[1], c.hidden_dim))
+                if dn_valid is not None:
+                    dn_tgt = jnp.where(dn_valid[..., None], dn_tgt, 0.0)
             tgt = jnp.concatenate([dn_tgt.astype(self.dtype), tgt], axis=1)
             refpoints_unact = jnp.concatenate(
                 [dn_refs_unact.astype(jnp.float32), refpoints_unact], axis=1)
@@ -264,9 +277,11 @@ class MaskDINOHead(nn.Module):
 
     @nn.compact
     def __call__(self, features, shared_memory_levels=None,
-                 dn_tgt=None, dn_refs_unact=None, self_attn_mask=None):
+                 dn_tgt=None, dn_refs_unact=None, self_attn_mask=None,
+                 dn_valid=None, lang_pool=None):
         mask_features, level_maps = MaskDINOPixelDecoder(
             self.cfg, dtype=self.dtype, name="pixel_decoder")(
             features, shared_memory_levels)
         return MaskDINODecoder(self.cfg, dtype=self.dtype, name="predictor")(
-            level_maps, mask_features, dn_tgt, dn_refs_unact, self_attn_mask)
+            level_maps, mask_features, dn_tgt, dn_refs_unact, self_attn_mask,
+            dn_valid, lang_pool)

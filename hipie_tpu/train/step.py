@@ -9,8 +9,9 @@ ddetrs_dn.py coco_forward (:264-748) + hipie_img.py forward train branch
     Hungarian-with-mask-costs, dn slots by fixed CDN indices.
   * pass weights FINAL_FG/BG/GT_WEIGHT = 1.0 / 0.0 / 1.0 (r50.yaml:27-29).
   * MaskDINO branch supervised by its own criterion (class 4 / mask 5 / dice 5 /
-    box 5 / giou 2, maskdino yaml) on all targets.
-  * TODO(round 2): encoder-proposal loss (_enc), MaskDINO interm + seg-DN losses.
+    box 5 / giou 2, maskdino yaml) on all targets, plus interm (two-stage init)
+    and seg-DN (noised-box, language-label-encoded) supervision.
+  * encoder-proposal (_enc) losses ride the gt pass, as in the reference.
 """
 
 from __future__ import annotations

@@ -87,11 +87,61 @@ def _bilinear_gather_level(
     return jnp.sum(gathered * cw[..., None], axis=4)     # (B, M, Q, P, D)
 
 
+def _quad_gather_level(
+    value_l: jnp.ndarray,      # (B, M, S_l, D) fp32
+    loc: jnp.ndarray,          # (B, Q, M, P, 2) in [0, 1], fp32
+    w_l: jnp.ndarray,          # (B, Q, M, P) attention weights, fp32
+    h: int,
+    w: int,
+) -> jnp.ndarray:
+    """Bilinear sample via a 'quad table': the level map is zero-padded by one
+    pixel and each padded position stores [v(y,x), v(y,x+1), v(y+1,x),
+    v(y+1,x+1)] — so ONE gathered row serves all 4 bilinear corners. TPU gathers
+    are row-count-bound (~1e8 rows/s regardless of width), so this is ~4x faster
+    than per-corner gathers. Returns (B, M, Q, D) already weight-reduced over P.
+    """
+    b, m, _, d = value_l.shape
+    q, p = loc.shape[1], loc.shape[3]
+    f32 = jnp.float32
+
+    vmap2d = value_l.reshape(b, m, h, w, d)
+    # zero-pad top/left/bottom/right by 1; build the 4-corner table on the
+    # (h+1, w+1) base grid (base index range y0,x0 in [-1, h-1] -> +1 shift).
+    vp = jnp.pad(vmap2d, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+    quad = jnp.concatenate(
+        [vp[:, :, :-1, :-1], vp[:, :, :-1, 1:], vp[:, :, 1:, :-1], vp[:, :, 1:, 1:]],
+        axis=-1)                                     # (B, M, h+1, w+1, 4D)
+    quad = quad.reshape(b, m, (h + 1) * (w + 1), 4 * d)
+
+    x = loc[..., 0] * w - 0.5                        # (B, Q, M, P)
+    y = loc[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = x - x0
+    ly = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    in_range = ((x0i >= -1) & (x0i <= w - 1) & (y0i >= -1) & (y0i <= h - 1))
+    idx = ((jnp.clip(y0i, -1, h - 1) + 1) * (w + 1)
+           + (jnp.clip(x0i, -1, w - 1) + 1))         # (B, Q, M, P)
+    idx = jnp.transpose(idx, (0, 2, 1, 3))           # (B, M, Q, P)
+
+    g = jax.vmap(jax.vmap(lambda v, i: jnp.take(v, i.reshape(-1), axis=0)))(
+        quad, idx)                                   # (B, M, Q*P, 4D)
+    g = g.reshape(b, m, q, p, 4, d)
+    cw = jnp.stack([(1 - ly) * (1 - lx), (1 - ly) * lx,
+                    ly * (1 - lx), ly * lx], axis=-1)          # (B, Q, M, P, 4)
+    cw = cw * (in_range.astype(f32) * w_l)[..., None]
+    cw = jnp.transpose(cw, (0, 2, 1, 3, 4))          # (B, M, Q, P, 4)
+    return jnp.sum(g * cw[..., None], axis=(3, 4))   # (B, M, Q, D)
+
+
 def ms_deform_attn_jnp(
     value: jnp.ndarray,                 # (B, S, M, D)
     spatial_shapes: Shapes,             # static ((H0,W0), (H1,W1), ...)
     sampling_locations: jnp.ndarray,    # (B, Q, M, L, P, 2) in [0, 1]
     attention_weights: jnp.ndarray,     # (B, Q, M, L, P), softmaxed over (L, P)
+    method: str = "quad",               # quad | corner4 (reference formulation)
 ) -> jnp.ndarray:
     """Pure-XLA multi-scale deformable attention. Returns (B, Q, M*D)."""
     orig_dtype = value.dtype
@@ -115,9 +165,12 @@ def ms_deform_attn_jnp(
         value_l = jax.lax.slice_in_dim(value_t, start, start + sizes[lid], axis=2)
         loc_l = sampling_locations[:, :, :, lid]          # (B, Q, M, P, 2)
         w_l = attention_weights[:, :, :, lid]             # (B, Q, M, P)
-        sampled = _bilinear_gather_level(value_l, loc_l, h, w)   # (B, M, Q, P, D)
-        w_l = jnp.transpose(w_l, (0, 2, 1, 3))            # (B, M, Q, P)
-        out = out + jnp.sum(sampled * w_l[..., None], axis=3)
+        if method == "quad":
+            out = out + _quad_gather_level(value_l, loc_l, w_l, h, w)
+        else:
+            sampled = _bilinear_gather_level(value_l, loc_l, h, w)   # (B,M,Q,P,D)
+            w_t = jnp.transpose(w_l, (0, 2, 1, 3))        # (B, M, Q, P)
+            out = out + jnp.sum(sampled * w_t[..., None], axis=3)
         start += sizes[lid]
 
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, q, m * d)

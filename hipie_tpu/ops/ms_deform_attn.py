@@ -93,6 +93,7 @@ def _quad_gather_level(
     w_l: jnp.ndarray,          # (B, Q, M, P) attention weights, fp32
     h: int,
     w: int,
+    table_dtype=None,          # e.g. jnp.bfloat16: halve gather bytes
 ) -> jnp.ndarray:
     """Bilinear sample via a 'quad table': the level map is zero-padded by one
     pixel and each padded position stores [v(y,x), v(y,x+1), v(y+1,x),
@@ -107,6 +108,8 @@ def _quad_gather_level(
     vmap2d = value_l.reshape(b, m, h, w, d)
     # zero-pad top/left/bottom/right by 1; build the 4-corner table on the
     # (h+1, w+1) base grid (base index range y0,x0 in [-1, h-1] -> +1 shift).
+    if table_dtype is not None:
+        vmap2d = vmap2d.astype(table_dtype)
     vp = jnp.pad(vmap2d, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
     quad = jnp.concatenate(
         [vp[:, :, :-1, :-1], vp[:, :, :-1, 1:], vp[:, :, 1:, :-1], vp[:, :, 1:, 1:]],
@@ -128,7 +131,7 @@ def _quad_gather_level(
 
     g = jax.vmap(jax.vmap(lambda v, i: jnp.take(v, i.reshape(-1), axis=0)))(
         quad, idx)                                   # (B, M, Q*P, 4D)
-    g = g.reshape(b, m, q, p, 4, d)
+    g = g.reshape(b, m, q, p, 4, d).astype(f32)
     cw = jnp.stack([(1 - ly) * (1 - lx), (1 - ly) * lx,
                     ly * (1 - lx), ly * lx], axis=-1)          # (B, Q, M, P, 4)
     cw = cw * (in_range.astype(f32) * w_l)[..., None]
@@ -165,8 +168,9 @@ def ms_deform_attn_jnp(
         value_l = jax.lax.slice_in_dim(value_t, start, start + sizes[lid], axis=2)
         loc_l = sampling_locations[:, :, :, lid]          # (B, Q, M, P, 2)
         w_l = attention_weights[:, :, :, lid]             # (B, Q, M, P)
-        if method == "quad":
-            out = out + _quad_gather_level(value_l, loc_l, w_l, h, w)
+        if method.startswith("quad"):
+            td = jnp.bfloat16 if method == "quad_bf16" else None
+            out = out + _quad_gather_level(value_l, loc_l, w_l, h, w, td)
         else:
             sampled = _bilinear_gather_level(value_l, loc_l, h, w)   # (B,M,Q,P,D)
             w_t = jnp.transpose(w_l, (0, 2, 1, 3))        # (B, M, Q, P)

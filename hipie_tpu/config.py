@@ -164,6 +164,10 @@ class ModelConfig:
     # meta-arch
     num_classes: int = 80
     max_insts_num: int = 100
+    # cap on matched query slots given mask supervision per image per layer;
+    # simOTA dynamic-k can match >100 of the 900 queries, so this is higher
+    # than max_insts_num (the 'matchdrop' train metric counts overflow).
+    max_matched_masks: int = 256
     pixel_mean: Tuple[float, float, float] = (123.675, 116.28, 103.53)
     pixel_std: Tuple[float, float, float] = (58.395, 57.12, 57.375)
     size_divisibility: int = 32
@@ -187,6 +191,7 @@ class TestConfig:
     transform_eval: bool = True                 # MODEL.PANO_TRANSFORM_EVAL
     pano_temperature: float = 0.06              # MODEL.PANO_TEMPERATURE
     test_size: Tuple[int, int] = (800, 1216)    # static padded eval bucket (H, W)
+    eval_period: int = 5000                     # TEST.EVAL_PERIOD (EvalHook)
 
 
 @dataclass(frozen=True)

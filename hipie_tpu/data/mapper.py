@@ -156,11 +156,18 @@ class HIPIEMapper:
             inst_pm = np.tile(spec.mean_weights[0], (len(labels), 1))
             new_labels = np.zeros(len(labels), np.int64)
         elif self.is_train:
-            spec, inst_pm, new_labels = detection_to_grounding(
+            spec, inst_pm, new_labels, keep = detection_to_grounding(
                 self.rng, labels, record["class_names"],
                 record["class_is_thing"], self.tok, L,
                 max_num_classes=cfg.num_negative_classes,
                 shuffle=cfg.shuffle_classes, part_words=self.part_words)
+            if not keep.all():
+                # instances whose class overflowed the token budget are dropped
+                # (reference check_for_positive_overflow semantics)
+                boxes = boxes[keep]
+                masks = masks[keep] if len(masks) == len(keep) else masks
+                inst_is_thing = inst_is_thing[keep]
+                labels = labels[keep]
         else:
             spec = build_prompt_spec(record["class_names"],
                                      record["class_is_thing"], self.tok, L,

@@ -172,13 +172,14 @@ def detection_to_grounding(
     max_num_classes: int = 80,
     shuffle: bool = True,
     part_words: Sequence[str] = (),
-) -> Tuple[PromptSpec, np.ndarray]:
+) -> Tuple[PromptSpec, np.ndarray, np.ndarray, np.ndarray]:
     """GLIP-style training prompt: positives + sampled negatives, shuffled.
 
     reference convert_object_detection_to_grounding_optimized_for_od
     (coco_dataset_mapper_uni.py:738-903) + check_for_positive_overflow (:689).
-    Returns (PromptSpec over the sampled classes, (N_obj, L) per-instance
-    positive map rows).
+    Returns (PromptSpec over the sampled classes, (N_kept, L) per-instance
+    positive map rows, (N_kept,) remapped class ids, (N_obj,) bool mask of
+    instances kept — False where the instance's class overflowed the budget).
     """
     num_classes = len(class_names)
     positives = sorted(set(int(c) for c in gt_classes))
@@ -188,34 +189,43 @@ def detection_to_grounding(
         negatives = list(rng.choice(negatives, n_neg, replace=False))
     else:
         negatives = negatives[:n_neg]
-    sampled = positives + negatives
-    if shuffle:
-        rng.shuffle(sampled)
-
-    # drop classes that overflow the token budget (check_for_positive_overflow).
-    kept = []
-    length = 2   # [CLS]/[SEP]
-    for c in sampled:
+    # Token budget: positives are admitted FIRST (reference
+    # check_for_positive_overflow guarantees every kept instance's class fits;
+    # overflow positives are dropped along with their instances), then
+    # negatives fill the remaining budget. The final prompt can never exceed
+    # max_len.
+    def token_cost(c, first):
         ids, _ = tokenizer.tokenize(clean_name(class_names[c]))
-        extra = len(ids) + (2 if kept else 0)
+        return len(ids) + (0 if first else 2)
+
+    kept_pos, length = [], 2   # [CLS]/[SEP]
+    for c in positives:
+        extra = token_cost(c, not kept_pos)
         if length + extra >= max_len - 2:
-            if c in positives:
-                continue
             continue
         length += extra
-        kept.append(c)
-    # make sure positives survive
-    for c in positives:
-        if c not in kept:
-            kept.insert(0, c)
+        kept_pos.append(c)
+    kept_neg = []
+    for c in negatives:
+        extra = token_cost(c, False)
+        if length + extra >= max_len - 2:
+            continue
+        length += extra
+        kept_neg.append(c)
+    kept = kept_pos + kept_neg
+    if shuffle:
+        rng.shuffle(kept)
 
     names = [class_names[c] for c in kept]
     things = [is_thing[c] for c in kept]
     spec = build_prompt_spec(names, things, tokenizer, max_len, part_words)
-    # per-instance positive map rows: instance -> its class's row.
+    # per-instance positive map rows: instance -> its class's row; instances of
+    # dropped (overflow) positive classes are masked out via keep_instances.
     remap = {c: i for i, c in enumerate(kept)}
+    keep_instances = np.asarray([int(c) in remap for c in gt_classes], bool)
+    gt_kept = [int(c) for c in gt_classes if int(c) in remap]
     inst_pm = np.stack([
-        spec.mean_weights[remap[int(c)]] for c in gt_classes
-    ]) if len(gt_classes) else np.zeros((0, max_len), np.float32)
-    new_classes = np.asarray([remap[int(c)] for c in gt_classes], np.int64)
-    return spec, inst_pm, new_classes
+        spec.mean_weights[remap[c]] for c in gt_kept
+    ]) if gt_kept else np.zeros((0, max_len), np.float32)
+    new_classes = np.asarray([remap[c] for c in gt_kept], np.int64)
+    return spec, inst_pm, new_classes, keep_instances

@@ -66,6 +66,9 @@ class FrozenBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
         var = self.param("running_var", nn.initializers.ones, (self.features,))
+        # frozen buffers: gradients must not flow into them (the optimizer also
+        # excludes them — train/optimizer.py frozen_prefixes)
+        weight, bias, mean, var = jax.lax.stop_gradient((weight, bias, mean, var))
         scale = weight * jax.lax.rsqrt(var + self.eps)
         shift = bias - mean * scale
         return (x * scale.astype(self.dtype) + shift.astype(self.dtype)).astype(x.dtype)

@@ -263,6 +263,12 @@ def criterion_pass(
 
         if with_masks and ("ctrl" in x or "masks" in x):
             sel_q, sel_valid = select_matched(assign, max_matched)
+            # surface silently-dropped mask supervision: simOTA's dynamic-k can
+            # match more than max_matched queries (VERDICT r1); monitor via the
+            # 'matchdrop' metric and raise model.max_matched_masks if nonzero.
+            out["matchdrop"] = jnp.maximum(
+                (assign >= 0).sum(axis=1) - max_matched, 0).astype(
+                    jnp.float32).sum()
             if "masks" in x:
                 pred_masks = jnp.take_along_axis(
                     x["masks"], sel_q[..., None, None], axis=1)

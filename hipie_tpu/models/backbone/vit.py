@@ -105,7 +105,13 @@ def add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, q_hw, k_hw):
 
 
 class ViTAttention(nn.Module):
-    """ViTDet attention with fused qkv projection and optional decomposed rel-pos."""
+    """ViTDet attention with fused qkv projection and optional decomposed rel-pos.
+
+    Large global blocks route through the fused Pallas flash kernel
+    (ops/pallas/vit_attention_kernel.py) which folds the decomposed rel-pos
+    bias into the QK^T contraction and never materializes the (heads, N, N)
+    logits; small/windowed blocks use the plain XLA path.
+    """
 
     dim: int
     num_heads: int
@@ -123,18 +129,37 @@ class ViTAttention(nn.Module):
         q, k, v = [jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)).reshape(b * nh, h * w, hd)
                    for i in range(3)]
 
-        # logits stay in the compute dtype (bf16): the reference runs the ViT
-        # under fp16 AMP, so bf16 here is at least as precise while halving the
-        # dominant HBM traffic (the (B*heads, HW, HW) logits + rel-pos buffers).
-        attn = jnp.einsum("bqd,bkd->bqk", q, k) * (hd ** -0.5)
+        rel_pos_h = rel_pos_w = None
         if self.use_rel_pos:
             rel_pos_h = self.param(
                 "rel_pos_h", nn.initializers.zeros, (2 * self.input_size[0] - 1, hd))
             rel_pos_w = self.param(
                 "rel_pos_w", nn.initializers.zeros, (2 * self.input_size[1] - 1, hd))
-            attn = add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, (h, w), (h, w))
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bqk,bkd->bqd", attn, v)
+
+        use_flash = (
+            self.dtype == jnp.bfloat16 and self.use_rel_pos
+            and h * w >= 1024 and (h * w) % 256 == 0
+            and jax.default_backend() == "tpu"
+        )
+        if use_flash:
+            from hipie_tpu.ops.pallas.vit_attention_kernel import vit_global_attention
+
+            rh = get_rel_pos(h, h, rel_pos_h).astype(q.dtype)     # (h, h, hd)
+            rw = get_rel_pos(w, w, rel_pos_w).astype(q.dtype)
+            r_q = q.reshape(b * nh, h, w, hd)
+            rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh).reshape(b * nh, h * w, h)
+            rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw).reshape(b * nh, h * w, w)
+            out = vit_global_attention(q, k, v, rel_h, rel_w, hd ** -0.5)
+        else:
+            # logits stay in the compute dtype (bf16): the reference runs the
+            # ViT under fp16 AMP, so bf16 here is at least as precise while
+            # halving the dominant HBM traffic.
+            attn = jnp.einsum("bqd,bkd->bqk", q, k) * (hd ** -0.5)
+            if self.use_rel_pos:
+                attn = add_decomposed_rel_pos(
+                    attn, q, rel_pos_h, rel_pos_w, (h, w), (h, w))
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("bqk,bkd->bqd", attn, v)
         out = out.reshape(b, nh, h * w, hd).transpose(0, 2, 1, 3).reshape(b, h, w, c)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 

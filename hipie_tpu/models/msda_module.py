@@ -85,6 +85,9 @@ class MSDeformAttn(nn.Module):
             loc = (ref[:, :, None, :, None, :2]
                    + offsets / p * ref[:, :, None, :, None, 2:] * 0.5)
 
-        out = ms_deform_attn_jnp(v, spatial_shapes, loc, weights)     # (B, Q, C) fp32
+        # bf16 quad tables under a bf16 compute dtype (matches the reference's
+        # AMP fp16 sampling envelope); exact fp32 path otherwise (tests).
+        method = "flat_bf16" if self.dtype == jnp.bfloat16 else "flat"
+        out = ms_deform_attn_jnp(v, spatial_shapes, loc, weights, method)  # (B, Q, C) fp32
         out = nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out.astype(self.dtype))
         return out

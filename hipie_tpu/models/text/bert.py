@@ -134,9 +134,12 @@ def parallel_det_block_mask(input_ids: jnp.ndarray, sep_token_id: int,
                             cls_token_id: int, pad_token_id: int) -> jnp.ndarray:
     """Block-diagonal attention mask for detection class-list prompts.
 
-    reference: bert_model.py:36-58 — tokens of different class names (separated by
-    '.') must not attend to each other; [CLS]/[SEP]/[PAD] positions stay globally
-    visible (as in the reference: special tokens attend everywhere and are attended).
+    reference: bert_model.py:38-50 — the mask is an identity matrix overwritten
+    with separator-EXCLUSIVE blocks: every token attends to itself; class-name
+    tokens additionally attend to the other tokens of the same class name
+    (between '.' separators, the separators themselves excluded). Special
+    positions ([CLS], '.', [PAD]) therefore attend only to themselves, and
+    class tokens never attend to specials.
 
     Returns (B, L, L) bool, True = attention ALLOWED.
     """
@@ -145,5 +148,7 @@ def parallel_det_block_mask(input_ids: jnp.ndarray, sep_token_id: int,
     seg = jnp.cumsum(is_sep.astype(jnp.int32), axis=1) - is_sep.astype(jnp.int32)
     same = seg[:, :, None] == seg[:, None, :]
     special = (input_ids == cls_token_id) | (input_ids == pad_token_id) | is_sep
-    allowed = same | special[:, :, None] | special[:, None, :]
-    return allowed
+    nonspecial = ~special
+    blocks = same & nonspecial[:, :, None] & nonspecial[:, None, :]
+    eye = jnp.eye(input_ids.shape[1], dtype=bool)[None]
+    return blocks | eye

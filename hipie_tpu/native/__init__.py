@@ -14,10 +14,31 @@ import numpy as np
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "_evalcore.so")
 _lib: Optional[ctypes.CDLL] = None
+_build_attempted = False
+
+
+def _maybe_build():
+    """Build _evalcore.so from source on first use (the binary is not committed
+    to version control; see build.sh)."""
+    global _build_attempted
+    if _build_attempted or os.path.exists(_LIB_PATH):
+        return
+    _build_attempted = True
+    import subprocess
+    src = os.path.join(os.path.dirname(__file__), "evalcore.cpp")
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", _LIB_PATH, src],
+            check=True, capture_output=True, timeout=120)
+    except Exception:
+        pass  # numpy fallback handles it
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
     global _lib
+    if _lib is None:
+        _maybe_build()
     if _lib is None and os.path.exists(_LIB_PATH):
         lib = ctypes.CDLL(_LIB_PATH)
         lib.mask_iou.argtypes = [

@@ -20,9 +20,18 @@ Design notes (TPU-first):
   * `spatial_shapes` must be a static Python tuple of (H, W) pairs — shapes are static
     under jit, which also removes the reference's `level_start_index` tensor plumbing.
 
-A Pallas kernel (`hipie_tpu/ops/pallas/msda_kernel.py`) provides a fused VMEM-resident
-variant for hot inference shapes; this module is the reference implementation and the
-autodiff path, and the public entry point `ms_deform_attn` dispatches between them.
+Formulations (measured on TPU v5e at encoder scale, S=Q=21760, M=8, L=4, P=4):
+  * `flat` / `flat_bf16` (default / bf16): all levels concatenated into ONE quad
+    table and ONE unbatched row gather; the weighted (corner x attention) reduce
+    runs as two small MXU matmuls (corner-expansion E and 0/1 segment-sum S)
+    in the bf16 path — 17.5 ms/layer vs 51 ms for the round-1 per-level
+    formulation. The fp32 path keeps an exact VPU multiply+reduce.
+  * `quad` / `quad_bf16`: per-level quad-table gathers (round-1 formulation).
+  * `corner4`: 4-corner row gathers (the direct reference formulation).
+Measured lower bound for the raw gather at these shapes is ~7.4 ms (row-count /
+byte-bound at ~390 Mrows/s / ~100 GB/s); a hand-written Pallas gather kernel
+cannot beat it because Mosaic requires 8-aligned dynamic sublane reads, forcing
+a masked-block formulation that costs more VPU work than the native gather unit.
 """
 
 from __future__ import annotations
@@ -139,12 +148,112 @@ def _quad_gather_level(
     return jnp.sum(g * cw[..., None], axis=(3, 4))   # (B, M, Q, D)
 
 
+def _flat_quad_attn(
+    value: jnp.ndarray,        # (B, S, M, D) fp32
+    spatial_shapes: Shapes,
+    loc: jnp.ndarray,          # (B, Q, M, L, P, 2) fp32
+    weights: jnp.ndarray,      # (B, Q, M, L, P) fp32
+    table_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """All levels in ONE gather: per-level quad tables are concatenated along the
+    row axis and every (query, head, level, point) sample becomes one row index
+    into the combined table. One big batched gather keeps the TPU gather unit at
+    its byte-bound throughput instead of 4 smaller row-bound launches, and the
+    weighted reduce consumes the gathered rows in a single fusion.
+
+    Returns (B, M, Q, D) fp32, already reduced over levels and points.
+    """
+    b, s, m, d = value.shape
+    q, _, L, p, _ = loc.shape[1:]
+    f32 = jnp.float32
+
+    value_t = jnp.transpose(value, (0, 2, 1, 3))     # (B, M, S, D)
+    tables, idx_parts, cw_parts = [], [], []
+    start, row_off = 0, 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v_l = jax.lax.slice_in_dim(value_t, start, start + h * w, axis=2)
+        vmap2d = v_l.reshape(b, m, h, w, d).astype(table_dtype)
+        vp = jnp.pad(vmap2d, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+        quad = jnp.concatenate(
+            [vp[:, :, :-1, :-1], vp[:, :, :-1, 1:],
+             vp[:, :, 1:, :-1], vp[:, :, 1:, 1:]], axis=-1)
+        tables.append(quad.reshape(b, m, (h + 1) * (w + 1), 4 * d))
+
+        x = loc[:, :, :, lvl, :, 0] * w - 0.5        # (B, Q, M, P)
+        y = loc[:, :, :, lvl, :, 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        lx = x - x0
+        ly = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        in_range = (x0i >= -1) & (x0i <= w - 1) & (y0i >= -1) & (y0i <= h - 1)
+        idx = ((jnp.clip(y0i, -1, h - 1) + 1) * (w + 1)
+               + (jnp.clip(x0i, -1, w - 1) + 1)) + row_off
+        idx_parts.append(idx)                        # (B, Q, M, P)
+        cw = jnp.stack([(1 - ly) * (1 - lx), (1 - ly) * lx,
+                        ly * (1 - lx), ly * lx], axis=-1)
+        cw = cw * (in_range.astype(f32) * weights[:, :, :, lvl])[..., None]
+        cw_parts.append(cw)                          # (B, Q, M, P, 4)
+        start += h * w
+        row_off += (h + 1) * (w + 1)
+
+    table = jnp.concatenate(tables, axis=2)          # (B, M, R, 4D)
+    idx = jnp.stack(idx_parts, axis=3)               # (B, Q, M, L, P)
+    cw = jnp.stack(cw_parts, axis=3)                 # (B, Q, M, L, P, 4)
+    idx = jnp.transpose(idx, (0, 2, 1, 3, 4)).reshape(b, m, q * L * p)
+    cw = jnp.transpose(cw, (0, 2, 1, 3, 4, 5)).reshape(b, m, q, L * p, 4)
+
+    # ONE unbatched take: fold (b, m) into the row index — XLA's batched gather
+    # lowering is ~2x slower than a flat gather at these row counts (measured).
+    r = table.shape[2]
+    off = (jnp.arange(b * m, dtype=jnp.int32) * r).reshape(b, m, 1)
+    k = L * p
+    n_rows = b * m * q * k
+    flat_idx = (idx + off).reshape(n_rows)
+    cw = cw.reshape(n_rows, 4).astype(table.dtype)
+
+    # Pad the row count to the reduction block so the segment-sum matmul tiles.
+    # cb must be a multiple of k so no query straddles a block boundary.
+    cb = k * max(1, min(4096 // k, (n_rows + k - 1) // k))
+    pad = (-n_rows) % cb
+    if pad:
+        flat_idx = jnp.pad(flat_idx, (0, pad))
+        cw = jnp.pad(cw, ((0, pad), (0, 0)))
+
+    g = jnp.take(table.reshape(b * m * r, 4 * d), flat_idx, axis=0)
+
+    if table.dtype == jnp.bfloat16:
+        # Weighted segment reduce on the MXU (measured ~25% faster than the VPU
+        # mul+sum, which materializes the gathered rows an extra time):
+        #   corner-expand: cwmat[row, l] = cw[row, l // d]      (row, 4d) via E
+        #   segment-sum:   out[q, :] = sum over the q's k rows  via 0/1 S matmul
+        lane = jnp.arange(4 * d) // d
+        e_mat = (lane[None, :] == jnp.arange(4)[:, None]).astype(table.dtype)
+        s_mat = (jnp.arange(cb)[None, :] // k
+                 == jnp.arange(cb // k)[:, None]).astype(table.dtype)
+        cwmat = jax.lax.dot_general(cw, e_mat, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=table.dtype)
+        gw = (g * cwmat).reshape(-1, cb, 4 * d)
+        out = jnp.einsum("bkf,qk->bqf", gw, s_mat,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(-1, 4, d)[:b * m * q].astype(f32)
+        return jnp.sum(out, axis=1).reshape(b, m, q, d)          # (B, M, Q, D)
+
+    # fp32 path (strict numerics): plain multiply + fp32 reduce — exact; the
+    # MXU reduce would truncate operands to bf16 at default matmul precision.
+    g = g.reshape(-1, k, 4, d)[:b * m * q]
+    cw = cw.reshape(-1, k, 4, 1)[:b * m * q]
+    out = jnp.sum(g * cw, axis=(1, 2))
+    return out.reshape(b, m, q, d)
+
+
 def ms_deform_attn_jnp(
     value: jnp.ndarray,                 # (B, S, M, D)
     spatial_shapes: Shapes,             # static ((H0,W0), (H1,W1), ...)
     sampling_locations: jnp.ndarray,    # (B, Q, M, L, P, 2) in [0, 1]
     attention_weights: jnp.ndarray,     # (B, Q, M, L, P), softmaxed over (L, P)
-    method: str = "quad",               # quad | corner4 (reference formulation)
+    method: str = "flat",               # flat | flat_bf16 | quad[_bf16] | corner4
 ) -> jnp.ndarray:
     """Pure-XLA multi-scale deformable attention. Returns (B, Q, M*D)."""
     orig_dtype = value.dtype
@@ -157,6 +266,13 @@ def ms_deform_attn_jnp(
     num_levels = len(spatial_shapes)
     sizes = _level_sizes(spatial_shapes)
     assert sum(sizes) == s, f"spatial shapes {spatial_shapes} do not sum to S={s}"
+
+    if method.startswith("flat"):
+        td = jnp.bfloat16 if method == "flat_bf16" else jnp.float32
+        out = _flat_quad_attn(value, spatial_shapes, sampling_locations,
+                              attention_weights, td)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, q, m * d)
+        return out.astype(orig_dtype)
 
     # (B, S, M, D) -> (B, M, S, D) once, then static per-level slices.
     value_t = jnp.transpose(value, (0, 2, 1, 3))
@@ -219,7 +335,7 @@ def ms_deform_attn_chunked(
     return out.reshape(out.shape[0], q, out.shape[-1])
 
 
-@functools.partial(jax.jit, static_argnames=("spatial_shapes", "chunk_size", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("spatial_shapes", "chunk_size"))
 def ms_deform_attn(
     value: jnp.ndarray,
     spatial_shapes: Shapes,
@@ -227,7 +343,6 @@ def ms_deform_attn(
     attention_weights: jnp.ndarray,
     *,
     chunk_size: int = 0,
-    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Public entry point. See `ms_deform_attn_jnp` for semantics.
 
@@ -237,14 +352,7 @@ def ms_deform_attn(
       sampling_locations: (B, Q, M, L, P, 2), normalized [0, 1] coords per level.
       attention_weights: (B, Q, M, L, P), already softmaxed over L*P.
       chunk_size: if > 0, chunk queries to bound gather intermediates.
-      use_pallas: route to the fused Pallas kernel (forward-optimized).
     """
-    if use_pallas:
-        from hipie_tpu.ops.pallas.msda_kernel import ms_deform_attn_pallas
-
-        return ms_deform_attn_pallas(
-            value, spatial_shapes, sampling_locations, attention_weights
-        )
     if chunk_size:
         return ms_deform_attn_chunked(
             value, spatial_shapes, sampling_locations, attention_weights, chunk_size

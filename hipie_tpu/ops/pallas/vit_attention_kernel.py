@@ -1,0 +1,121 @@
+"""Fused ViTDet global attention (flash-style) with decomposed rel-pos bias.
+
+Replaces the XLA attention in hipie_tpu/models/backbone/vit.py for the global
+blocks (ViT-H at 1024^2: 20 blocks x 16 heads x 4096 tokens). The XLA path
+materializes the (B*heads, 4096, 4096) logits (+rel-pos add, +softmax) in HBM —
+~0.5 GB per tensor per block; this kernel never materializes logits.
+
+Trick: the decomposed relative-position bias (reference
+projects/HIPIE/hipie/backbone/utils.py add_decomposed_rel_pos,
+vit.py:411-421) is
+
+    bias[q, k] = rel_h[q, k // Kw] + rel_w[q, k % Kw]
+
+which is LINEAR in one-hot row/col indicators of k, so it folds into the
+QK^T matmul by augmenting the contraction dimension:
+
+    qcat = [q * scale, rel_h, rel_w]            (N, hd + Kh + Kw)
+    kcat = [k, onehot(k // Kw), onehot(k % Kw)] (N, hd + Kh + Kw)
+    logits = qcat @ kcat^T                       == q k^T * scale + bias
+
+The kernel then runs softmax(logits) @ v per 256-query tile with the full key
+range resident in VMEM (4096 x 208 bf16 = 1.7 MB) — a one-pass flash attention
+with no online-softmax bookkeeping needed.
+
+Forward-only; the public wrapper attaches a custom VJP that redoes the math in
+XLA for the backward (training wraps blocks in remat anyway).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(qcat_ref, kcat_ref, v_ref, o_ref):
+    s = jax.lax.dot_general(
+        qcat_ref[0], kcat_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (TQ, N)
+    s = s - jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (TQ, hd)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+def _attention_xla(q, k, v, rel_h, rel_w, scale):
+    """Reference XLA path (used for the backward and as numerics oracle)."""
+    s = jnp.einsum("bqd,bkd->bqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    n, kh = rel_h.shape[1], rel_h.shape[2]
+    kw = n // kh
+    bias = (rel_h.astype(jnp.float32)[:, :, :, None]
+            + rel_w.astype(jnp.float32)[:, :, None, :]).reshape(-1, n, n)
+    p = jax.nn.softmax(s + bias, axis=-1).astype(v.dtype)
+    return jnp.einsum("bqk,bkd->bqd", p, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def vit_global_attention(q, k, v, rel_h, rel_w, scale):
+    """q, k, v: (BH, N, hd); rel_h: (BH, N, Kh); rel_w: (BH, N, Kw); N == Kh*Kw.
+
+    Returns softmax(q k^T * scale + decomposed-rel-pos bias) @ v, shape/dtype
+    of v. rel_h/rel_w are the q-contracted coefficients (einsum bhwc,hkc->bhwk
+    of the reference, flattened).
+    """
+    return _fwd_pallas(q, k, v, rel_h, rel_w, scale)
+
+
+def _fwd_pallas(q, k, v, rel_h, rel_w, scale, tq: int = 256):
+    bh, n, hd = q.shape
+    kh, kw = rel_h.shape[2], rel_w.shape[2]
+    assert kh * kw == n, (kh, kw, n)
+    dt = v.dtype
+
+    qcat = jnp.concatenate(
+        [q.astype(jnp.float32) * scale, rel_h, rel_w], axis=-1).astype(dt)
+    karange = jnp.arange(n, dtype=jnp.int32)
+    row1h = (karange[:, None] // kw == jnp.arange(kh)[None, :]).astype(dt)
+    col1h = (karange[:, None] % kw == jnp.arange(kw)[None, :]).astype(dt)
+    kcat = jnp.concatenate(
+        [k.astype(dt), jnp.broadcast_to(row1h, (bh, n, kh)),
+         jnp.broadcast_to(col1h, (bh, n, kw))], axis=-1)
+
+    c = hd + kh + kw
+    grid = (bh, n // tq)
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tq, c), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, hd), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, hd), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n, hd), dt),
+    )(qcat, kcat, v)
+
+
+def _fwd_rule(q, k, v, rel_h, rel_w, scale):
+    return _fwd_pallas(q, k, v, rel_h, rel_w, scale), (q, k, v, rel_h, rel_w)
+
+
+def _bwd_rule(scale, res, g):
+    q, k, v, rel_h, rel_w = res
+    _, vjp = jax.vjp(lambda *a: _attention_xla(*a, scale), q, k, v, rel_h, rel_w)
+    return vjp(g)
+
+
+vit_global_attention.defvjp(_fwd_rule, _bwd_rule)

@@ -23,11 +23,25 @@ def num_processes() -> int:
 
 
 def all_gather_objects(obj: Any) -> List[Any]:
-    """Gather a picklable object from every host (comm.all_gather)."""
+    """Gather an arbitrary picklable object from every host (comm.all_gather).
+
+    Two-phase: gather pickled byte lengths, pad to the max, gather the padded
+    byte buffers, unpickle per rank — handles ragged per-rank prediction lists
+    (the evaluator use case, detectron2/utils/comm.py:99-123), unlike a plain
+    array allgather.
+    """
     if jax.process_count() == 1:
         return [obj]
+    import pickle
     from jax.experimental import multihost_utils
-    return list(multihost_utils.process_allgather(np.asarray(obj)))
+    buf = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.asarray([buf.size], np.int64)).reshape(-1)
+    padded = np.zeros(int(sizes.max()), np.uint8)
+    padded[:buf.size] = buf
+    data = np.asarray(multihost_utils.process_allgather(padded))
+    return [pickle.loads(data[i, :int(sizes[i])].tobytes())
+            for i in range(len(sizes))]
 
 
 def reduce_metrics(metrics: Dict[str, float]) -> Dict[str, float]:

@@ -25,6 +25,28 @@ from hipie_tpu.models.hipie import HIPIEModel, hipie_inference
 from hipie_tpu.models.text.tokenizer import WordPieceTokenizer
 
 
+def _batched_bilinear(arr: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
+    """Vectorized bilinear resize of a (N, H, W) stack (align_corners=False,
+    edge-clamped — cv2.INTER_LINEAR semantics) in four fancy-index gathers."""
+    n, h, w = arr.shape
+    oh, ow = out_hw
+    ys = (np.arange(oh, dtype=np.float32) + 0.5) * (h / oh) - 0.5
+    xs = (np.arange(ow, dtype=np.float32) + 0.5) * (w / ow) - 0.5
+    y0 = np.floor(ys); x0 = np.floor(xs)
+    ly = (ys - y0)[None, :, None]
+    lx = (xs - x0)[None, None, :]
+    y0i = np.clip(y0.astype(np.int64), 0, h - 1)
+    y1i = np.clip(y0i + 1, 0, h - 1)
+    x0i = np.clip(x0.astype(np.int64), 0, w - 1)
+    x1i = np.clip(x0i + 1, 0, w - 1)
+    a = arr[:, y0i[:, None], x0i[None, :]]
+    b = arr[:, y0i[:, None], x1i[None, :]]
+    c = arr[:, y1i[:, None], x0i[None, :]]
+    d = arr[:, y1i[:, None], x1i[None, :]]
+    return (a * (1 - ly) * (1 - lx) + b * (1 - ly) * lx
+            + c * ly * (1 - lx) + d * ly * lx)
+
+
 def parse_def_string(defs: Sequence[str]) -> Tuple[List[str], List[bool]]:
     """'name' or 'name:stuff' entries -> (names, is_thing) like
     part_segm_demo.py parse_def_string (:237-276)."""
@@ -86,16 +108,14 @@ class HIPIEPredictor:
     def _rescale_masks(self, mask_logits: np.ndarray, valid_hw, out_hw,
                        thresh: float = 0.5) -> np.ndarray:
         """stride-4 logits -> bool masks at the original resolution
-        (reference segmentation_postprocess: bilinear x4, crop, nearest)."""
-        import cv2
+        (reference segmentation_postprocess: bilinear x4, crop, resize).
+        All masks are resized in one vectorized pass (no per-mask host loop)."""
         h, w = valid_hw
         oh, ow = out_hw
-        out = np.zeros((len(mask_logits), oh, ow), bool)
-        for i, m in enumerate(mask_logits):
-            up = cv2.resize(m, (m.shape[1] * 4, m.shape[0] * 4),
-                            interpolation=cv2.INTER_LINEAR)[:h, :w]
-            out[i] = cv2.resize(up, (ow, oh), interpolation=cv2.INTER_LINEAR) > 0
-        return out
+        up = _batched_bilinear(mask_logits,
+                               (mask_logits.shape[1] * 4, mask_logits.shape[2] * 4))
+        up = up[:, :h, :w]
+        return _batched_bilinear(up, (oh, ow)) > 0
 
     def __call__(self, image: np.ndarray, task: str = "detection",
                  expressions: Optional[str] = None,

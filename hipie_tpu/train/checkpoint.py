@@ -47,7 +47,7 @@ def restore_checkpoint(path: str, state):
 
 
 def resume_or_load(directory: str, state, weights_path: Optional[str] = None,
-                   resume: bool = True):
+                   resume: bool = True, cfg=None):
     """detectron2 resume_or_load semantics: resume from the run dir if possible,
     else load initial weights (torch .pth converted, or an orbax tree)."""
     if resume:
@@ -56,7 +56,8 @@ def resume_or_load(directory: str, state, weights_path: Optional[str] = None,
             return restore_checkpoint(last, state), True
     if weights_path:
         if weights_path.endswith((".pth", ".pkl")):
-            state = state._replace(params=load_torch_weights(weights_path, state.params))
+            state = state._replace(
+                params=load_torch_weights(weights_path, state.params, cfg=cfg))
         else:
             restored = _ckptr().restore(os.path.abspath(weights_path))
             params = restored.get("params", restored)
@@ -85,25 +86,22 @@ def merge_matching(params, loaded):
                                                   jax.tree_util.tree_flatten_with_path(params)[0]])
 
 
-def load_torch_weights(path: str, params):
+def load_torch_weights(path: str, params, cfg=None):
     """Convert a reference HIPIE .pth into the hipie_tpu param tree.
 
-    Composes the per-component converters (hipie_tpu/utils/converter.py); any
-    tensors without a mapping are left at their initialized values.
+    Routes through the FULL checkpoint converter
+    (hipie_tpu/utils/hipie_converter.convert_hipie_checkpoint) and merges with
+    shape checking (merge_matching) — unmapped tensors keep their initialized
+    values and are reported. Conversion failures raise: silently training from
+    random init when the user pointed at real weights is never correct.
     """
     from hipie_tpu.utils.converter import load_torch_checkpoint
+    from hipie_tpu.utils.hipie_converter import convert_hipie_checkpoint
+
+    if cfg is None:
+        raise ValueError(
+            "load_torch_weights needs the HIPIEConfig to map a .pth checkpoint; "
+            "pass cfg= (resume_or_load forwards it).")
     sd = load_torch_checkpoint(path)
-    # Component-wise conversion is wired up as mappings land; today this covers
-    # BERT / ResNet / ViT; DETR-head mapping is tracked for round 2.
-    out = dict(params)
-    try:
-        from hipie_tpu.utils.converter import convert_hf_bert
-        bert_keys = [k for k in sd if "text_encoder" in k or k.startswith("bert.")]
-        if bert_keys:
-            prefix = ("detr.detr.text_encoder.0.model."
-                      if any("detr.detr" in k for k in bert_keys) else "")
-            converted = convert_hf_bert(sd, prefix=prefix)
-            out["params"]["text_encoder"] = converted
-    except Exception as e:        # pragma: no cover
-        print(f"[checkpoint] BERT conversion failed: {e}")
-    return out
+    converted = convert_hipie_checkpoint(sd, cfg)
+    return merge_matching(params, converted)

@@ -63,7 +63,7 @@ def make_loss_fn(model, cfg: HIPIEConfig, task: str = "detection"):
         mc.mask_head.num_dynamic_layers, mc.mask_head.use_rel_coord)
     n_bg = mc.transformer.num_bg_queries
     n_match = mc.transformer.num_queries + n_bg
-    max_matched = mc.max_insts_num
+    max_matched = mc.max_matched_masks
 
     def loss_fn(params, batch: TrainBatch, rng: jax.Array):
         t = batch.targets

@@ -30,7 +30,8 @@ class Trainer:
     def __init__(self, cfg: HIPIEConfig, model, state: TrainState, tx,
                  train_step: Callable, loader: Iterator,
                  eval_fn: Optional[Callable] = None,
-                 log_period: int = 20, profile_at: int = -1):
+                 log_period: int = 20, profile_at: int = -1,
+                 batch_sharding=None):
         self.cfg = cfg
         self.model = model
         self.state = state
@@ -41,10 +42,13 @@ class Trainer:
         self.storage = EventStorage(cfg.output_dir)
         self.profiler = Profiler(cfg.output_dir, start_iter=profile_at)
         self.log_period = log_period
+        # NamedSharding(mesh, P("data")): each batch is device_put over the
+        # mesh's data axis so multi-device training is actually data-parallel.
+        self.batch_sharding = batch_sharding
 
     def resume_or_load(self, weights: Optional[str] = None, resume: bool = True):
         self.state, resumed = resume_or_load(
-            self.cfg.output_dir, self.state, weights, resume)
+            self.cfg.output_dir, self.state, weights, resume, cfg=self.cfg)
         if resumed:
             self.storage.iter = int(self.state.step)
         return resumed
@@ -59,22 +63,26 @@ class Trainer:
         lr_fn = lr_schedule(cfg, cfg.base_lr)
         pending_metrics = None
 
+        eval_period = getattr(self.cfg.test, "eval_period", 5000) or 5000
         while it < max_iter:
             self.profiler.maybe_start(it)
             t_data = time.time()
             batch = next(data_iter)
             if isinstance(batch, dict):
                 batch = TrainBatch(**batch)
+            if self.batch_sharding is not None:
+                batch = jax.device_put(batch, self.batch_sharding)
             data_time = time.time() - t_data
 
             rng, key = jax.random.split(rng)
             self.state, metrics = self.train_step(self.state, batch, key)
             self.storage.tick()
             it += 1
+            self.storage.put_scalars(data_time=data_time)
 
             if pending_metrics is not None and (it % self.log_period == 0):
                 host = {k: float(v) for k, v in pending_metrics.items()}
-                self.storage.put_scalars(data_time=data_time, **host)
+                self.storage.put_scalars(**host)
                 self.storage.log_console(max_iter, lr=float(lr_fn(it)))
                 self.storage.write_json()
             pending_metrics = metrics
@@ -82,7 +90,7 @@ class Trainer:
 
             if it % cfg.checkpoint_period == 0 or it == max_iter:
                 save_checkpoint(self.cfg.output_dir, self.state, it)
-            if self.eval_fn is not None and it % 5000 == 0:
+            if self.eval_fn is not None and it % eval_period == 0:
                 results = self.eval_fn(self.state.params)
                 self.storage.put_scalars(**{f"eval/{k}": v
                                             for k, v in results.items()})

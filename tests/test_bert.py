@@ -56,10 +56,14 @@ def test_parallel_det_block_mask():
     ids = jnp.array([[2, 10, 11, 5, 12, 5, 0]])
     allowed = parallel_det_block_mask(ids, sep_token_id=5, cls_token_id=2,
                                       pad_token_id=0)[0]
+    # reference bert_model.py:38-50: eye + separator-exclusive blocks
     assert bool(allowed[1, 2])          # a <-> b same block
     assert not bool(allowed[1, 4])      # a <-> c different blocks
-    assert bool(allowed[0, 4])          # CLS sees everything
-    assert bool(allowed[4, 6])          # PAD columns stay visible (special)
+    assert not bool(allowed[0, 4])      # CLS attends only to itself
+    assert bool(allowed[0, 0])
+    assert not bool(allowed[1, 3])      # class token does not attend to '.'
+    assert not bool(allowed[4, 6])      # nor to PAD
+    assert bool(allowed[3, 3]) and bool(allowed[6, 6])   # specials self-attend
 
 
 def test_wordpiece_tokenizer_roundtrip():

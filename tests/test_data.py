@@ -36,8 +36,9 @@ def test_detection_to_grounding_positive_rows():
     names = ["person", "bicycle", "car", "sky", "grass", "dog"]
     things = [True, True, True, False, False, True]
     gt = np.array([0, 2, 2])
-    spec, inst_pm, new_labels = detection_to_grounding(
+    spec, inst_pm, new_labels, keep = detection_to_grounding(
         rng, gt, names, things, tok, max_len=48, max_num_classes=4)
+    assert keep.all()
     assert inst_pm.shape == (3, 48)
     # instances of the same class share the same row
     np.testing.assert_array_equal(inst_pm[1], inst_pm[2])
@@ -45,6 +46,27 @@ def test_detection_to_grounding_positive_rows():
     # positives always included
     assert {names.index("person"), names.index("car")} <= set(
         [names.index(spec.class_names[i]) for i in new_labels])
+
+
+def test_detection_to_grounding_budget_never_exceeded():
+    """Prompt must never exceed max_len; overflow positives drop instances
+    instead of silently producing empty positive rows (reference
+    check_for_positive_overflow, coco_dataset_mapper_uni.py:689)."""
+    from hipie_tpu.data.prompts import detection_to_grounding
+
+    tok = make_tok()
+    rng = np.random.RandomState(0)
+    names = [f"person bicycle car sky grass dog {i}" for i in range(30)]
+    things = [True] * 30
+    gt = np.arange(30) % 30
+    spec, inst_pm, new_labels, keep = detection_to_grounding(
+        rng, gt, names, things, tok, max_len=32, max_num_classes=30)
+    assert spec.input_ids.shape[-1] == 32
+    assert int(spec.attention_mask.sum()) <= 32
+    assert keep.sum() == len(new_labels) == len(inst_pm)
+    # every surviving instance has a non-empty positive row
+    if len(inst_pm):
+        assert (inst_pm.sum(-1) > 0).all()
 
 
 def test_mapper_shapes():

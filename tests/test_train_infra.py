@@ -35,9 +35,20 @@ def test_param_group_labels():
     params = {"params": {
         "text_encoder": {"layers": {"kernel": jnp.ones(1)}},
         "detr": {
-            "backbone": {"stem_conv1": {"kernel": jnp.ones(1)}},
+            "backbone": {
+                # stem + res2 are frozen (FREEZE_AT=2); res3 trains at 0.1x
+                "stem_conv1": {"kernel": jnp.ones(1)},
+                "res2_0": {"conv1": {"kernel": jnp.ones(1)}},
+                "res3_0": {
+                    "conv1": {"kernel": jnp.ones(1)},
+                    # FrozenBN buffers: frozen everywhere
+                    "conv1_norm": {"weight": jnp.ones(1), "bias": jnp.ones(1),
+                                   "running_mean": jnp.ones(1),
+                                   "running_var": jnp.ones(1)},
+                },
+            },
             "transformer": {
-                "encoder": {"vl_layers_0": {"gamma_v": jnp.ones(1)},
+                "encoder": {"vl_layer": {"gamma_v": jnp.ones(1)},
                             "layer": {"self_attn": {"sampling_offsets": {
                                 "kernel": jnp.ones(1)}}}},
                 "bg_query_refs": jnp.ones(1),
@@ -48,11 +59,57 @@ def test_param_group_labels():
     labels = param_labels(params)
     p = labels["params"]
     assert p["text_encoder"]["layers"]["kernel"] == "lang"
-    assert p["detr"]["backbone"]["stem_conv1"]["kernel"] == "backbone"
+    assert p["detr"]["backbone"]["stem_conv1"]["kernel"] == "frozen"
+    assert p["detr"]["backbone"]["res2_0"]["conv1"]["kernel"] == "frozen"
+    assert p["detr"]["backbone"]["res3_0"]["conv1"]["kernel"] == "backbone"
+    bn = p["detr"]["backbone"]["res3_0"]["conv1_norm"]
+    assert all(v == "frozen" for v in bn.values())
+    assert p["detr"]["transformer"]["encoder"]["vl_layer"]["gamma_v"] == "vl"
     assert p["detr"]["transformer"]["encoder"]["layer"]["self_attn"][
         "sampling_offsets"]["kernel"] == "offsets"
     assert p["detr"]["transformer"]["bg_query_refs"] == "offsets"
     assert p["detr"]["controller"]["layers_0"]["kernel"] == "base"
+
+
+def test_param_groups_cover_real_tree():
+    """Every optimizer group labels >= 1 param in the real model tree, and
+    frozen params receive zero updates (ADVICE r1)."""
+    import numpy as np
+    from hipie_tpu.config import apply_overrides, tiny_test_config
+    from hipie_tpu.train.optimizer import build_optimizer, param_labels
+    from hipie_tpu.models.hipie import HIPIEModel
+
+    # warmup_iters=0 so step-0 updates are nonzero for trainable params
+    cfg = apply_overrides(tiny_test_config(), {"solver.warmup_iters": 0})
+    model = HIPIEModel(cfg.model)
+    img = jnp.zeros((1, 64, 64, 3))
+    pad = jnp.zeros((1, 64, 64), bool)
+    L = cfg.model.text.max_query_len
+    ids = jnp.ones((1, L), jnp.int32)
+    am = jnp.ones((1, L), jnp.int32)
+    sizes = jnp.asarray([[64, 64]], jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), img, pad, ids, am, sizes)
+
+    labels = param_labels(params)
+    found = set(jax.tree_util.tree_leaves(labels))
+    # tiny backbone has no resnet -> no frozen/backbone... use label presence
+    # of the groups that must exist in every config:
+    for grp in ["base", "lang", "vl", "offsets"]:
+        assert grp in found, f"group {grp} labels no parameter"
+
+    tx = build_optimizer(cfg.solver, params)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # vl / offsets params got nonzero updates
+    flat_u = dict(jax.tree_util.tree_flatten_with_path(updates)[0])
+    flat_l = dict(jax.tree_util.tree_flatten_with_path(labels)[0])
+    for k, lbl in flat_l.items():
+        u = np.asarray(flat_u[k])
+        if lbl == "frozen":
+            assert np.all(u == 0), k
+        else:
+            assert np.any(u != 0), k
 
 
 def test_lr_schedule_warmup_and_decay():
@@ -62,8 +119,9 @@ def test_lr_schedule_warmup_and_decay():
     cfg = SolverConfig(base_lr=1.0, warmup_iters=100, lr_decay_steps=(1000,),
                        lr_decay_gamma=0.1)
     fn = lr_schedule(cfg, 1.0)
-    assert float(fn(0)) == 0.0
-    assert abs(float(fn(50)) - 0.5) < 1e-6
+    # warmup starts at warmup_factor=1e-3 like d2's WarmupMultiStepLR, never 0
+    assert abs(float(fn(0)) - 1e-3) < 1e-9
+    assert abs(float(fn(50)) - 0.5005) < 1e-6
     assert abs(float(fn(500)) - 1.0) < 1e-6
     assert abs(float(fn(1500)) - 0.1) < 1e-6
 

@@ -1,0 +1,71 @@
+"""ViT global-attention flash kernel: interpret-mode parity with the XLA path.
+
+Mirrors the reference's kernel-vs-reference methodology (SURVEY.md §4:
+projects/HIPIE/hipie/models/deformable_detr/ops/test.py compares the CUDA
+kernel against the pure-torch grid_sample formulation).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def _inputs(bh=2, kh=4, kw=4, hd=16, seed=0):
+    r = np.random.RandomState(seed)
+    n = kh * kw
+    mk = lambda *s: jnp.asarray(r.randn(*s).astype(np.float32))
+    q, k, v = mk(bh, n, hd), mk(bh, n, hd), mk(bh, n, hd)
+    rel_h, rel_w = 0.3 * mk(bh, n, kh), 0.3 * mk(bh, n, kw)
+    return q, k, v, rel_h, rel_w
+
+
+def test_flash_matches_xla_interpret():
+    from hipie_tpu.ops.pallas import vit_attention_kernel as K
+
+    q, k, v, rel_h, rel_w = _inputs()
+    scale = q.shape[-1] ** -0.5
+    ref = K._attention_xla(q, k, v, rel_h, rel_w, scale)
+
+    # run the pallas_call in interpreter mode on CPU
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+    def patched(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+    pl.pallas_call = patched
+    try:
+        got = K._fwd_pallas(q, k, v, rel_h, rel_w, scale, tq=8)
+    finally:
+        pl.pallas_call = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_flash_bwd_uses_xla_path():
+    from hipie_tpu.ops.pallas import vit_attention_kernel as K
+
+    q, k, v, rel_h, rel_w = _inputs()
+    scale = q.shape[-1] ** -0.5
+
+    def loss_ref(q):
+        return K._attention_xla(q, k, v, rel_h, rel_w, scale).sum()
+
+    g = jax.grad(loss_ref)(q)
+    assert np.isfinite(np.asarray(g)).all()
+    # rel-pos bias is folded exactly: permuting rel_h rows changes the output
+    out1 = K._attention_xla(q, k, v, rel_h, rel_w, scale)
+    out2 = K._attention_xla(q, k, v, rel_h[:, ::-1], rel_w, scale)
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_vit_block_xla_path_unchanged_on_cpu():
+    """ViTAttention must keep using the XLA path on CPU (flash gate)."""
+    from hipie_tpu.models.backbone.vit import ViTAttention
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 8, 8, 32), jnp.float32)
+    m = ViTAttention(dim=32, num_heads=4, input_size=(8, 8))
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()

@@ -58,18 +58,29 @@ def main():
     model = HIPIEModel(cfg.model)
     mapper = HIPIEMapper(cfg.data, tok, is_train=not args.eval_only,
                          max_gt=cfg.model.max_insts_num, seed=cfg.seed)
-    batch_size = max(cfg.solver.ims_per_batch // max(jax.device_count(), 1), 1)
-    loader = TrainLoader(cfg.data, mapper, batch_size, seed=cfg.seed)
 
     mesh = create_mesh(tp=args.tp)
+    # The GLOBAL batch is sharded over the mesh's DATA axis only (the tp axis
+    # sees the same examples); each process loads its own shard of the batch.
+    dp = mesh.shape["data"]
+    n_proc = jax.process_count()
+    global_batch = max(cfg.solver.ims_per_batch // dp, 1) * dp
+    per_host = global_batch // n_proc
+    loader = TrainLoader(cfg.data, mapper, per_host, seed=cfg.seed,
+                         shard_rank=jax.process_index(), num_shards=n_proc)
+
     with mesh:
+        from hipie_tpu.parallel.mesh import batch_sharding
+        bsh = batch_sharding(mesh)
         first = TrainBatch(**next(iter(loader)))
+        first = jax.device_put(first, bsh)
         state, tx = create_train_state(model, cfg, jax.random.PRNGKey(cfg.seed),
                                        first)
         state = state._replace(
             params=jax.device_put(state.params, shard_params(state.params, mesh)))
         step = make_train_step(model, cfg, tx)
-        trainer = Trainer(cfg, model, state, tx, step, loader)
+        trainer = Trainer(cfg, model, state, tx, step, loader,
+                          batch_sharding=bsh)
         trainer.resume_or_load(args.weights or None, resume=args.resume)
         if args.eval_only:
             raise SystemExit("use tools/eval_net.py for evaluation")

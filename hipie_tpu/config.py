@@ -115,12 +115,15 @@ class MaskHeadConfig:
 
 @dataclass(frozen=True)
 class ClipConfig:
-    # reference: hipie/open_vocab/clip.py, hipie_img.py:811-868
+    # reference: hipie/open_vocab/clip.py, hipie_img.py:811-868, config.py:154-161
     enabled: bool = False
     model: str = "ViT-L-14-336"
     alpha: float = 0.35
     beta: float = 0.7
     agg_mode: str = "MUL"             # MUL | ADD
+    fg_iou_a: float = 0.3             # MODEL.CLIP.FG_IOU_A (prob exponent)
+    fg_iou_b: float = 1.7             # MODEL.CLIP.FG_IOU_B (iou exponent)
+    pano_temperature_fg: float = 0.06 # MODEL.PANO_TEMPERATURE_CLIP_FG
 
 
 @dataclass(frozen=True)
@@ -172,6 +175,10 @@ class ModelConfig:
     pixel_std: Tuple[float, float, float] = (58.395, 57.12, 57.375)
     size_divisibility: int = 32
     still_cls_for_encoder: bool = False
+    # MODEL.DDETRS.BG_QUERY_FROM_LANG (reference config.py:150): at inference,
+    # build one bg query per STUFF class from its BERT token embeddings
+    # (hipie_img.py:336, prepare_bg_queries_lan :1014-1024)
+    bg_query_from_lang: bool = False
     use_iou_head: bool = True
     # compute dtype for the bulk of the network; sampling/logits stay fp32
     dtype: str = "bfloat16"

@@ -181,21 +181,20 @@ def mask_attn_from_logits(mask_logits: jnp.ndarray, image_size: int,
 
 
 def ensemble_logits_with_labels(logits: jnp.ndarray,
-                                group_sizes: Sequence[int]) -> jnp.ndarray:
-    """Mean PROBABILITY over each synonym group (helper.py:79-109).
+                                group_sizes: Sequence[int],
+                                method: str = "max") -> jnp.ndarray:
+    """Synonym-group ensembling of raw logits (helper.py:79-109).
 
-    logits (..., sum(group_sizes)) -> (..., len(group_sizes)); computed as
-    logsumexp-mean in prob space like the reference (softmax over all synonyms,
-    summed per group, renormalized is equivalent to what the ref does with
-    per-group mean of softmax probs)."""
-    probs = jax.nn.softmax(logits, axis=-1)
+    logits (..., sum(group_sizes)) -> (..., len(group_sizes)); the reference
+    default is MAX over each group's logits (helper.py ensemble_method='max');
+    'mean' averages the group's logits."""
     outs = []
     start = 0
     for g in group_sizes:
-        outs.append(probs[..., start:start + g].mean(-1))
+        chunk = logits[..., start:start + g]
+        outs.append(chunk.max(-1) if method == "max" else chunk.mean(-1))
         start += g
-    p = jnp.stack(outs, axis=-1)
-    return jnp.log(jnp.clip(p, 1e-9))
+    return jnp.stack(outs, axis=-1)
 
 
 class MaskCLIP(nn.Module):

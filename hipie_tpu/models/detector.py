@@ -140,6 +140,7 @@ class HIPIEDetector(nn.Module):
         dn_refs_unact: Optional[jnp.ndarray] = None,
         self_attn_mask: Optional[jnp.ndarray] = None,
         bg_queries_lang: Optional[jnp.ndarray] = None,
+        bg_lang_weights: Optional[jnp.ndarray] = None,
         maskdino_dn_refs: Optional[jnp.ndarray] = None,
         maskdino_dn_valid: Optional[jnp.ndarray] = None,
         maskdino_attn_mask: Optional[jnp.ndarray] = None,
@@ -158,7 +159,8 @@ class HIPIEDetector(nn.Module):
         t = self.transformer(
             srcs, masks, poses, lang_hidden, lang_masks, task=task,
             dn_tgt=dn_tgt, dn_refs_unact=dn_refs_unact,
-            self_attn_mask=self_attn_mask, bg_queries_lang=bg_queries_lang)
+            self_attn_mask=self_attn_mask, bg_queries_lang=bg_queries_lang,
+            bg_lang_weights=bg_lang_weights)
 
         hs = t["hs"]                                    # (layers, B, Q, C)
         l_hidden = t["lang_hidden"]

@@ -77,7 +77,7 @@ class HIPIEModel(nn.Module):
         task: str = "detection",
         train: bool = False,
         dn_labels=None, dn_valid=None, dn_refs_unact=None, self_attn_mask=None,
-        bg_queries_lang=None,
+        bg_queries_lang=None, bg_lang_weights=None,
         maskdino_dn_refs=None, maskdino_dn_valid=None, maskdino_attn_mask=None,
     ) -> Dict[str, Any]:
         x = self.normalize(images)
@@ -87,6 +87,7 @@ class HIPIEModel(nn.Module):
             x, pad_mask, lang_hidden, lang_attn_mask, image_sizes, task=task,
             dn_labels=dn_labels, dn_valid=dn_valid, dn_refs_unact=dn_refs_unact,
             self_attn_mask=self_attn_mask, bg_queries_lang=bg_queries_lang,
+            bg_lang_weights=bg_lang_weights,
             maskdino_dn_refs=maskdino_dn_refs, maskdino_dn_valid=maskdino_dn_valid,
             maskdino_attn_mask=maskdino_attn_mask, train=train)
         return out
@@ -115,37 +116,61 @@ def hipie_inference(
     task: str = "detection",
     has_thing: bool = True,
     pad_mask_s4: Optional[jnp.ndarray] = None,   # (H4, W4) True = pad
+    clip_fn=None,                    # (images01, (Q,h,w) masks) -> (Q, C) logits
+    clip_overlap: Optional[jnp.ndarray] = None,  # (C,) train-vocab overlap
+    images01: Optional[jnp.ndarray] = None,      # (1, H, W, 3) in [0, 1]
+    n_bg_lang: int = 0,              # language-derived bg queries in front
 ) -> InferenceResult:
     """Fuse fg/bg branches into instance/semantic/panoptic results for one image.
 
     reference: hipie_img.py inference() (:537-766) with defaults
     use_bg_for_pano=True (panoptic/semantic entirely from the MaskDINO branch),
     transform_eval=True (softmax(sigmoid/T)), ota NMS 0.7, topk 100.
+    When `clip_fn` is given (MODEL.CLIP.ENABLED), MaskCLIP probabilities are
+    ensembled into both the fg-instance scores (:596-611) and the pano/semantic
+    class probabilities (:736-751); see models/postprocess_clip.py.
     """
     i = image_index
     n_bg = model_cfg.transformer.num_bg_queries
-    fg_logits = outputs["pred_logits"][i][n_bg:]
-    fg_boxes = outputs["pred_boxes"][i][n_bg:]
-    fg_masks = outputs["pred_masks"][i][n_bg:]
+    # query layout [bg_lang | bg | fg] (reference hipie_img.py:560-573: with
+    # BG_QUERY_FROM_LANG the bg branch reads the bg_lang block and fg starts
+    # after BOTH bg blocks)
+    fg_start = n_bg + n_bg_lang
+    fg_logits = outputs["pred_logits"][i][fg_start:]
+    fg_boxes = outputs["pred_boxes"][i][fg_start:]
+    fg_masks = outputs["pred_masks"][i][fg_start:]
     iou = outputs.get("pred_boxious")
-    iou_i = iou[i][n_bg:] if iou is not None else None
+    iou_i = iou[i][fg_start:] if iou is not None else None
+
+    clip_prob = None
+    if clip_fn is not None and task == "detection":
+        from hipie_tpu.models.postprocess_clip import fuse_fg_probs
+        fg_cls = grounding_to_od_logits(
+            fg_logits, maps, mode="FG" if has_thing else None,
+            max_pool=test_cfg.max_pool_tokens)
+        clip_logits_fg = clip_fn(images01, fg_masks[None])
+        clip_prob = fuse_fg_probs(
+            fg_cls, clip_logits_fg, clip_overlap, maps.is_thing, iou_i,
+            model_cfg.clip, test_cfg.transform_eval)
 
     max_det = test_cfg.detections_per_image if task == "detection" else 1
     inst = fg_instance_inference(
         fg_logits, fg_boxes, fg_masks, iou_i, maps,
         max_detections=max_det, nms_thresh=test_cfg.nms_thresh,
-        has_thing=has_thing, max_pool=test_cfg.max_pool_tokens)
+        has_thing=has_thing, max_pool=test_cfg.max_pool_tokens,
+        clip_prob=clip_prob)
 
     sem = pano = None
     seg_valid = seg_cls = seg_isthing = None
     if task == "detection":
         md = outputs.get("maskdino")
+        n_bg_blk = n_bg_lang if n_bg_lang > 0 else n_bg
         if md is not None:
             bg_token_logits = md["pred_logits"][i]
             bg_mask_logits = md["pred_masks"][i]
         else:
-            bg_token_logits = outputs["pred_logits"][i][:n_bg]
-            bg_mask_logits = outputs["pred_masks"][i][:n_bg]
+            bg_token_logits = outputs["pred_logits"][i][:n_bg_blk]
+            bg_mask_logits = outputs["pred_masks"][i][:n_bg_blk]
         mode = None if (test_cfg.use_bg_for_pano or test_cfg.bg_cls_agnostic) else "BG"
         bg_cls = grounding_to_od_logits(bg_token_logits, maps, mode=mode,
                                         max_pool=test_cfg.max_pool_tokens)
@@ -161,6 +186,11 @@ def hipie_inference(
                 [~inst.keep_fg, jnp.zeros(bg_cls.shape[0], bool)])
         prob = transform_probs(all_cls, temperature=test_cfg.pano_temperature,
                                transform_eval=test_cfg.transform_eval)
+        if clip_fn is not None:
+            from hipie_tpu.models.postprocess_clip import fuse_all_probs
+            clip_logits_all = clip_fn(images01, all_masks[None])
+            prob = fuse_all_probs(prob, clip_logits_all, clip_overlap,
+                                  model_cfg.clip)
         if drop is not None:
             prob = jnp.where(drop[:, None], 0.0, prob)
             all_masks = jnp.where(drop[:, None, None], -1e4, all_masks)

@@ -90,11 +90,14 @@ def fg_instance_inference(
     cls_logits = grounding_to_od_logits(
         token_logits, maps, mode="FG" if has_thing else None, max_pool=max_pool)
     if clip_prob is not None:
+        # CLIP-fused probabilities already include the iou mix with the
+        # FG_IOU_A/B exponents (postprocess_clip.fuse_fg_probs; reference
+        # hipie_img.py:607-608) — do not re-apply it here.
         prob = clip_prob
     else:
         prob = jax.nn.sigmoid(cls_logits)
-    if iou_logits is not None:
-        prob = jnp.sqrt(prob * jax.nn.sigmoid(iou_logits.astype(jnp.float32)))
+        if iou_logits is not None:
+            prob = jnp.sqrt(prob * jax.nn.sigmoid(iou_logits.astype(jnp.float32)))
 
     boxes_xyxy = box_cxcywh_to_xyxy(boxes_cxcywh.astype(jnp.float32))
     if use_ota_nms:

@@ -159,7 +159,8 @@ class VLDeformableTransformer(nn.Module):
         dn_tgt: Optional[jnp.ndarray] = None,         # (B, n_dn, C)
         dn_refs_unact: Optional[jnp.ndarray] = None,  # (B, n_dn, 4) pre-sigmoid
         self_attn_mask: Optional[jnp.ndarray] = None, # (Q_total, Q_total) True=block
-        bg_queries_lang: Optional[jnp.ndarray] = None,  # (K, C)
+        bg_queries_lang: Optional[jnp.ndarray] = None,  # (K, C) precomputed
+        bg_lang_weights: Optional[jnp.ndarray] = None,  # (K, L) token weights
     ) -> Dict[str, jnp.ndarray]:
         c = self.cfg
         b = srcs[0].shape[0]
@@ -197,7 +198,18 @@ class VLDeformableTransformer(nn.Module):
 
         # ---- pooled language feature for grounding ----------------------------
         lang_pool = agg_lang_feat(l_hidden, lang_masks)                  # (B, lang_dim)
-        ref_feat = FeatureResizer(c.d_model, dtype=self.dtype, name="resizer")(lang_pool)
+        resizer = FeatureResizer(c.d_model, dtype=self.dtype, name="resizer")
+        ref_feat = resizer(lang_pool)
+
+        # language-derived background queries: one query per stuff class, from
+        # the RAW (pre-fusion) BERT token embeddings through the SAME resizer
+        # (reference prepare_bg_queries_lan, hipie_img.py:1014-1024, which uses
+        # detr.resizer on language_dict_features['hidden'][0]).
+        if bg_lang_weights is not None and bg_queries_lang is None:
+            q_lang = jnp.einsum(
+                "kl,ld->kd", bg_lang_weights.astype(jnp.float32),
+                lang_hidden[0].astype(jnp.float32))
+            bg_queries_lang = resizer(q_lang.astype(self.dtype))
 
         # ---- two-stage proposal generation -------------------------------------
         grid_props = []

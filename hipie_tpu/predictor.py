@@ -60,7 +60,7 @@ def parse_def_string(defs: Sequence[str]) -> Tuple[List[str], List[bool]]:
 
 class HIPIEPredictor:
     def __init__(self, cfg: HIPIEConfig, params, tokenizer: WordPieceTokenizer,
-                 bucket: Tuple[int, int] = (800, 1216)):
+                 bucket: Tuple[int, int] = (800, 1216), clip_scorer=None):
         import jax
 
         self.cfg = cfg
@@ -69,6 +69,18 @@ class HIPIEPredictor:
         self.bucket = bucket
         self.model = HIPIEModel(cfg.model)
         self._jitted = {}
+        # MODEL.CLIP.ENABLED: open-vocab MaskCLIP score ensembling. The scorer
+        # holds the frozen CLIP towers + the per-label-set text-embed cache
+        # (models/postprocess_clip.CLIPScorer); pass one built from converted
+        # open_clip weights for real open-vocab numbers.
+        self.clip_scorer = clip_scorer
+        if cfg.model.clip.enabled and clip_scorer is None:
+            from hipie_tpu.models.postprocess_clip import CLIPScorer
+            from hipie_tpu.models.text.clip_tokenizer import CLIPTokenizer
+            print("[predictor] MODEL.CLIP.ENABLED with no CLIPScorer given — "
+                  "building RANDOM-INIT CLIP towers (pass clip_scorer built "
+                  "from convert_clip weights for real open-vocab scores)")
+            self.clip_scorer = CLIPScorer(cfg.model.clip, CLIPTokenizer.toy())
 
     def _run(self, spec: PromptSpec, img: np.ndarray, task: str,
              has_thing: bool):
@@ -82,25 +94,53 @@ class HIPIEPredictor:
         padded, pad_mask = T.pad_to_bucket(resized, self.bucket)
         maps = spec.class_maps()
 
-        key = (task, len(spec.class_names), self.bucket, has_thing)
+        clip_fn = clip_overlap = None
+        use_clip = (cfg.model.clip.enabled and self.clip_scorer is not None
+                    and task == "detection")
+        if use_clip:
+            # synonym groups: names with commas list synonyms (reference
+            # hipie_img.py:818 test_labels[i]['name'].split(','))
+            labels = [n.split(",") for n in spec.class_names]
+            clip_fn, clip_overlap = self.clip_scorer.make_clip_fn(labels)
+
+        # language-derived bg queries: one per STUFF class, from its positive
+        # token weights (reference prepare_bg_queries_lan, hipie_img.py:336)
+        n_bg_lang = 0
+        bg_lang_weights = None
+        if cfg.model.bg_query_from_lang and task == "detection":
+            stuff = ~np.asarray(maps.is_thing)
+            n_bg_lang = int(stuff.sum())
+            if n_bg_lang:
+                bg_lang_weights = jnp.asarray(
+                    np.asarray(maps.mean_weights)[stuff])
+
+        key = (task, tuple(spec.class_names) if use_clip
+               else len(spec.class_names), self.bucket, has_thing, n_bg_lang)
         if key not in self._jitted:
             model, tcfg, mcfg = self.model, cfg.test, cfg.model
 
             @functools.partial(jax.jit, static_argnames=())
-            def fn(params, images, pad, ids, am, sizes, mw, tm, it):
+            def fn(params, images, pad, ids, am, sizes, mw, tm, it, blw):
                 from hipie_tpu.models.postprocess import ClassMaps
                 m = ClassMaps(mw, tm, it)
-                out = model.apply(params, images, pad, ids, am, sizes, task=task)
+                out = model.apply(params, images, pad, ids, am, sizes, task=task,
+                                  bg_lang_weights=blw)
+                images01 = jnp.clip(images / 255.0, 0.0, 1.0)
                 return hipie_inference(out, m, tcfg, mcfg, task=task,
                                        has_thing=has_thing,
-                                       pad_mask_s4=pad[0][::4, ::4])
+                                       pad_mask_s4=pad[0][::4, ::4],
+                                       clip_fn=clip_fn,
+                                       clip_overlap=clip_overlap,
+                                       images01=images01,
+                                       n_bg_lang=n_bg_lang)
             self._jitted[key] = fn
 
         res = self._jitted[key](
             self.params,
             jnp.asarray(padded[None]), jnp.asarray(pad_mask[None]),
             jnp.asarray(spec.input_ids[None]), jnp.asarray(spec.attention_mask[None]),
-            jnp.asarray([[h, w]]), maps.mean_weights, maps.token_mask, maps.is_thing)
+            jnp.asarray([[h, w]]), maps.mean_weights, maps.token_mask,
+            maps.is_thing, bg_lang_weights)
         return jax.tree.map(np.asarray, res), (h, w)
 
     # -- result post-processing to original resolution -----------------------

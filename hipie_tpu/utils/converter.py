@@ -214,6 +214,51 @@ def convert_vit(sd: Dict[str, Any], depth: int, prefix: str = "",
     return out
 
 
+def _clip_block(sd: Dict[str, Any], prefix: str, heads: int) -> Dict[str, Any]:
+    return {
+        "ln_1": t_norm(sd, f"{prefix}.ln_1"),
+        "attn": t_mha(sd, f"{prefix}.attn", heads),
+        "ln_2": t_norm(sd, f"{prefix}.ln_2"),
+        "mlp_fc": t_linear(sd, f"{prefix}.mlp.c_fc"),
+        "mlp_proj": t_linear(sd, f"{prefix}.mlp.c_proj"),
+    }
+
+
+def convert_clip(sd: Dict[str, Any], visual_layers: int = 24,
+                 visual_heads: int = 16, text_layers: int = 12,
+                 text_heads: int = 12) -> Dict[str, Any]:
+    """open_clip / openai-CLIP state dict -> {visual: ..., text: ..., logit_scale}.
+
+    Key layout (open_clip ViT-L-14-336): visual.conv1 / class_embedding /
+    positional_embedding / ln_pre / transformer.resblocks.N.* / ln_post / proj;
+    text side token_embedding / positional_embedding / transformer.resblocks.N
+    / ln_final / text_projection; scalar logit_scale.
+    Matches hipie_tpu/models/clip.py CLIPVisual / CLIPText param trees.
+    """
+    visual = {
+        "conv1": t_conv(sd, "visual.conv1"),
+        "class_embedding": np.asarray(sd["visual.class_embedding"]),
+        "positional_embedding": np.asarray(sd["visual.positional_embedding"]),
+        "ln_pre": t_norm(sd, "visual.ln_pre"),
+        "ln_post": t_norm(sd, "visual.ln_post"),
+        "proj": np.asarray(sd["visual.proj"]),
+    }
+    for i in range(visual_layers):
+        visual[f"blocks_{i}"] = _clip_block(
+            sd, f"visual.transformer.resblocks.{i}", visual_heads)
+    text = {
+        "token_embedding": t_embed(sd, "token_embedding"),
+        "positional_embedding": np.asarray(sd["positional_embedding"]),
+        "ln_final": t_norm(sd, "ln_final"),
+        "text_projection": np.asarray(sd["text_projection"]),
+    }
+    for i in range(text_layers):
+        text[f"blocks_{i}"] = _clip_block(
+            sd, f"transformer.resblocks.{i}", text_heads)
+    return {"visual": visual, "text": text,
+            "logit_scale": np.asarray(sd["logit_scale"])}
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a .pth/.pkl checkpoint into a flat numpy state_dict (host-side)."""
     import torch

@@ -226,6 +226,13 @@ class DataConfig:
     train_datasets: Tuple[str, ...] = ("coco_panoptic",)
     dataset_ratios: Tuple[float, ...] = (1.0,)
     dataset_batch_sizes: Tuple[int, ...] = (2,)
+    # repeat-factor (RFS) upweighting per dataset (reference DATALOADER.USE_RFS
+    # + REPEAT_THRESHOLD, custom_dataset_dataloader.py:195-266)
+    dataset_use_rfs: Tuple[bool, ...] = ()
+    rfs_repeat_threshold: float = 0.001
+    # per-dataset batch sizes (DATALOADER.USE_DIFF_BS_SIZE + DATASET_BS): when
+    # set, a batch sampled from dataset i has dataset_batch_sizes[i] items
+    use_diff_bs_size: bool = False
     test_dataset: str = "coco_panoptic_val"
     min_size_train: Tuple[int, ...] = (1024,)
     max_size_train: int = 1024

@@ -168,7 +168,8 @@ def materialize_record(record: Dict[str, Any]) -> Dict[str, Any]:
     if record.get("pan_seg_file"):
         record = panoptic_record_to_instances(record)
     out = dict(record)
-    out["image"] = load_image(record["file_name"])
+    if "image" not in out:
+        out["image"] = load_image(record["file_name"])
     h, w = out["image"].shape[:2]
     anns = []
     for a in record.get("annotations", []):
@@ -287,3 +288,9 @@ def _register_builtin():
 
 
 _register_builtin()
+
+
+# benchmark-matrix registrations (ADE20k, Pascal ctx/voc/parts, PACO, O365v2,
+# SeginW/ODinW, COCO semseg) + bundled openseg label sets live in
+# datasets_extra to keep this module focused on the registry + COCO loaders.
+from hipie_tpu.data import datasets_extra as _extra  # noqa: E402,F401

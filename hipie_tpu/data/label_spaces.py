@@ -60,3 +60,10 @@ THINGS_CLASSES_WITH_PART = [
     "bicycle", "motorbike", "car", "bus", "train", "bottle", "pottedplant",
     "tvmonitor",
 ]
+
+# Pascal-Panoptic-Parts: part-label id -> merged evaluation group (58 merged
+# classes; reference register_pascal.py PASCAL_LABEL_PART_GROUP — a data
+# table, reproduced verbatim) and the object classes that carry parts.
+PASCAL_PART_LABEL_GROUP = {1: 1, 2: 2, 3: 3, 4: 2, 5: 4, 6: 5, 7: 6, 8: 7, 9: 6, 10: 6, 11: 6, 12: 8, 13: 9, 14: 9, 15: 10, 16: 11, 17: 11, 18: 8, 19: 12, 20: 14, 21: 13, 22: 15, 23: 15, 24: 15, 25: 15, 26: 15, 27: 15, 28: 15, 29: 15, 30: 15, 31: 15, 32: 16, 33: 15, 34: 17, 35: 18, 36: 18, 37: 18, 38: 19, 39: 19, 40: 18, 41: 20, 42: 21, 43: 22, 44: 23, 45: 24, 46: 24, 47: 24, 48: 24, 49: 23, 50: 25, 51: 25, 52: 26, 53: 27, 54: 28, 55: 29, 56: 29, 57: 29, 58: 29, 59: 29, 60: 28, 61: 30, 62: 31, 63: 32, 64: 33, 65: 34, 66: 34, 67: 34, 68: 34, 69: 33, 70: 35, 71: 35, 72: 36, 73: 34, 74: 37, 75: 38, 76: 38, 77: 38, 78: 38, 79: 37, 80: 37, 81: 39, 82: 40, 83: 41, 84: 42, 85: 41, 86: 41, 87: 41, 88: 43, 89: 44, 90: 44, 91: 44, 92: 44, 93: 44, 94: 44, 95: 44, 96: 43, 97: 43, 98: 45, 99: 46, 100: 45, 101: 47, 102: 48, 103: 47, 104: 49, 105: 50, 106: 51, 107: 52, 108: 52, 109: 52, 110: 52, 111: 52, 112: 51, 113: 53, 114: 51, 115: 54, 116: 55, 117: 55, 118: 55, 119: 55, 120: 56, 121: 57}
+
+THINGS_CLASSES_WITH_PART = ['aeroplane', 'bicycle', 'bird', 'bottle', 'bus', 'car', 'cat', 'cow', 'dog', 'horse', 'motorbike', 'person', 'pottedplant', 'sheep', 'train', 'tvmonitor']

@@ -25,22 +25,59 @@ from hipie_tpu.data.mapper import HIPIEMapper, MapperOutput
 from hipie_tpu.losses.criterion import Targets
 
 
+def rfs_repeat_factors(records: Sequence[Dict[str, Any]],
+                       repeat_threshold: float = 0.001) -> np.ndarray:
+    """LVIS repeat-factor sampling weights (reference wraps d2's
+    RepeatFactorTrainingSampler, custom_dataset_dataloader.py:62-70):
+      f(c) = fraction of images containing category c
+      r(c) = max(1, sqrt(t / f(c)))
+      r(img) = max over categories in the image.
+    """
+    n = len(records)
+    cat_count: Dict[int, int] = {}
+    img_cats = []
+    for rec in records:
+        cats = {int(a["category_id"]) for a in rec.get("annotations", [])}
+        img_cats.append(cats)
+        for c in cats:
+            cat_count[c] = cat_count.get(c, 0) + 1
+    rep = {c: max(1.0, float(np.sqrt(repeat_threshold / (cnt / n))))
+           for c, cnt in cat_count.items()}
+    return np.asarray(
+        [max([rep[c] for c in cats], default=1.0) for cats in img_cats],
+        np.float64)
+
+
 class MultiDatasetSampler:
-    """Infinite index stream: (dataset_idx, record_idx) with dataset ratios."""
+    """Infinite index stream: (dataset_idx, record_idx) with dataset ratios and
+    optional per-dataset repeat-factor upweighting."""
 
     def __init__(self, sizes: Sequence[int], ratios: Sequence[float],
-                 seed: int = 0, shard_rank: int = 0, num_shards: int = 1):
+                 seed: int = 0, shard_rank: int = 0, num_shards: int = 1,
+                 repeat_factors: Optional[Sequence[Optional[np.ndarray]]] = None):
         self.sizes = list(sizes)
         p = np.asarray(ratios, np.float64)
         self.p = p / p.sum()
         self.rng = np.random.RandomState(seed + shard_rank)
         self.shard_rank = shard_rank
         self.num_shards = num_shards
+        self.within: List[Optional[np.ndarray]] = []
+        for k, size in enumerate(self.sizes):
+            rf = repeat_factors[k] if repeat_factors else None
+            if rf is not None:
+                rf = np.asarray(rf, np.float64)
+                self.within.append(rf / rf.sum())
+            else:
+                self.within.append(None)
 
     def __iter__(self) -> Iterator[Tuple[int, int]]:
         while True:
             d = int(self.rng.choice(len(self.sizes), p=self.p))
-            i = int(self.rng.randint(self.sizes[d]))
+            w = self.within[d]
+            if w is None:
+                i = int(self.rng.randint(self.sizes[d]))
+            else:
+                i = int(self.rng.choice(self.sizes[d], p=w))
             yield d, i
 
 
@@ -75,9 +112,20 @@ class TrainLoader:
         self.mapper = mapper
         self.batch_size = batch_size
         self.datasets = [get_dataset(n) for n in cfg.train_datasets]
+        rfs_flags = cfg.dataset_use_rfs or (False,) * len(self.datasets)
+        repeat = [rfs_repeat_factors(ds, cfg.rfs_repeat_threshold)
+                  if use else None
+                  for ds, use in zip(self.datasets, rfs_flags)]
         self.sampler = MultiDatasetSampler(
             [len(d) for d in self.datasets], cfg.dataset_ratios, seed,
-            shard_rank, num_shards)
+            shard_rank, num_shards, repeat_factors=repeat)
+        # per-dataset batch sizes (USE_DIFF_BS_SIZE): batches stay
+        # dataset-homogeneous, so each dataset gets its own compiled program
+        # at its own static batch size.
+        if cfg.use_diff_bs_size and cfg.dataset_batch_sizes:
+            self.batch_sizes = list(cfg.dataset_batch_sizes)
+        else:
+            self.batch_sizes = [batch_size] * len(self.datasets)
         self.bucket = (cfg.crop_size, cfg.crop_size) if cfg.lsj_crop else None
         self._queue: Queue = Queue(maxsize=prefetch)
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -87,7 +135,7 @@ class TrainLoader:
         d, i = next(it)
         outs = [self.mapper(materialize_record(self.datasets[d][i]),
                             bucket=self.bucket)]
-        while len(outs) < self.batch_size:
+        while len(outs) < self.batch_sizes[d]:
             _, j = next(it)
             outs.append(self.mapper(materialize_record(self.datasets[d][j]),
                                     bucket=self.bucket))

@@ -146,3 +146,86 @@ def evaluate_refcoco_dataset(predictor, records, max_images=None):
     out.update({f"box/{k}": v for k, v in ev_box.evaluate().items()})
     out["images"] = n
     return out
+
+
+def load_sem_seg_gt(path: str) -> np.ndarray:
+    """Load semantic GT (8-bit png or 16-bit tif; d2 layout)."""
+    from PIL import Image
+    return np.asarray(Image.open(path))
+
+
+def evaluate_semseg_dataset(predictor, records, metadata=None,
+                            max_images: Optional[int] = None
+                            ) -> Dict[str, float]:
+    """Semantic-segmentation eval (mIoU; + merged-group mIoU-PartS for the
+    Pascal-Parts label space). reference: SemSegEvaluator(+Parts) wiring in
+    train_net.py build_evaluator + d2_evaluator.py:64-102."""
+    from hipie_tpu.data.datasets import load_image
+    from hipie_tpu.evaluation.seg_eval import (SemSegEvaluator,
+                                               SemSegEvaluatorParts)
+
+    metadata = metadata or {}
+    ignore = metadata.get("ignore_label", 255)
+    label_group = metadata.get("label_group")
+    # ignore_label == 0 marks 1-based GT (pascal-parts 16-bit tif): shift to
+    # 0-based and use a sentinel ignore id outside the label range.
+    shift_gt = ignore == 0
+    eff_ignore = 10 ** 6 if shift_gt else ignore
+    ev = None
+    n = 0
+    start = time.time()
+    for rec in records:
+        if max_images is not None and n >= max_images:
+            break
+        if ev is None:
+            c = len(rec["class_names"])
+            if label_group:
+                ev = SemSegEvaluatorParts(c, label_group,
+                                          metadata.get("n_merged", 58),
+                                          ignore_label=eff_ignore)
+            else:
+                ev = SemSegEvaluator(c, ignore_label=eff_ignore)
+        img = rec.get("image")
+        if img is None:
+            img = load_image(rec["file_name"])
+        result = predictor(img, task="detection",
+                           test_categories=rec["class_names"],
+                           test_is_thing=rec["class_is_thing"])
+        gt = rec.get("sem_seg_gt")
+        if gt is None:
+            gt = load_sem_seg_gt(rec["sem_seg_file_name"])
+        gt = np.asarray(gt).astype(np.int64)
+        if shift_gt:
+            gt = np.where(gt == 0, np.int64(eff_ignore), gt - 1)
+        ev.add_image(result["sem_seg"], gt)
+        n += 1
+    out = {f"sem_seg/{k}": v for k, v in (ev.evaluate() if ev else {}).items()}
+    out["images"] = n
+    out["sec_per_image"] = (time.time() - start) / max(n, 1)
+    return out
+
+
+def instance_results_to_coco_json(predictions, records,
+                                  dataset_id_map=None) -> List[Dict[str, Any]]:
+    """Export predictions in COCO-results format with OPEN-VOCAB tolerant
+    category-id unmapping (reference hipie/data/evaluation/
+    instance_evaluation.py:30 InstanceSegEvaluator: contiguous prediction ids
+    map back to dataset category ids; sparse/remapped id spaces allowed)."""
+    out = []
+    for rec, preds in zip(records, predictions):
+        for i in range(len(preds["scores"])):
+            cid = int(preds["classes"][i])
+            if dataset_id_map is not None:
+                if cid not in dataset_id_map:
+                    raise KeyError(
+                        f"prediction class {cid} not in dataset id map "
+                        f"({len(dataset_id_map)} classes)")
+                cid = dataset_id_map[cid]
+            x0, y0, x1, y1 = [float(v) for v in preds["boxes"][i]]
+            out.append({
+                "image_id": rec["image_id"],
+                "category_id": cid,
+                "bbox": [x0, y0, x1 - x0, y1 - y0],
+                "score": float(preds["scores"][i]),
+            })
+    return out

@@ -133,6 +133,53 @@ class SemSegEvaluator:
         }
 
 
+class SemSegEvaluatorParts(SemSegEvaluator):
+    """mIoU over the raw part label space PLUS a reduced confusion matrix over
+    merged label groups (reference detectron2/evaluation/sem_seg_evaluation.py
+    SemSegEvaluatorParts :200-260 — Pascal-Panoptic-Parts 'mIoU-PartS' uses 58
+    merged classes via PASCAL_LABEL_PART_GROUP)."""
+
+    def __init__(self, num_classes: int, label_group: Dict[int, int],
+                 n_merged: int, ignore_label: int = 255):
+        super().__init__(num_classes, ignore_label)
+        self.label_group = dict(label_group)
+        self.n_merged = n_merged
+        self.conf_reduced = np.zeros((n_merged + 1, n_merged + 1), np.int64)
+        # dense remap lut: raw id (1-based) -> merged group (0 = unmapped)
+        max_id = max(self.label_group) if self.label_group else 0
+        self.lut = np.zeros(max(max_id, num_classes) + 2, np.int64)
+        for k, v in self.label_group.items():
+            self.lut[k] = v
+
+    def add_image(self, pred: np.ndarray, gt: np.ndarray):
+        """pred: (H, W) contiguous 0-based class ids; gt likewise (already
+        offset-corrected by the caller)."""
+        super().add_image(pred, gt)
+        # reference remaps pred+1 / gt+1 through the 1-based label_group table
+        pm = self.lut[np.clip(pred.astype(np.int64) + 1, 0, len(self.lut) - 1)]
+        gm = self.lut[np.clip(
+            np.where(gt == self.ignore, 0, gt.astype(np.int64) + 1),
+            0, len(self.lut) - 1)]
+        valid = gm > 0
+        col = np.where(pm[valid] > 0, pm[valid] - 1, self.n_merged)  # last col
+        idx = (gm[valid] - 1) * (self.n_merged + 1) + col            # = unmapped
+        binc = np.bincount(idx, minlength=self.n_merged * (self.n_merged + 1))
+        self.conf_reduced[:self.n_merged, :] += binc.reshape(
+            self.n_merged, self.n_merged + 1)
+
+    def evaluate(self) -> Dict[str, float]:
+        out = super().evaluate()
+        conf = self.conf_reduced[:self.n_merged, :self.n_merged]
+        tp = np.diag(conf).astype(np.float64)
+        gt_total = conf.sum(1).astype(np.float64)
+        pred_total = conf.sum(0).astype(np.float64)
+        union = gt_total + pred_total - tp
+        valid = gt_total > 0
+        iou = np.where(union > 0, tp / np.maximum(union, 1e-9), 0.0)
+        out["mIoU_parts"] = float(iou[valid].mean() * 100) if valid.any() else 0.0
+        return out
+
+
 class RefCOCOEvaluator:
     """oIoU (cumulated I/U) + precision@K for referring segmentation/boxes."""
 

@@ -196,7 +196,10 @@ class HIPIEPredictor:
         }
         if res.panoptic is not None:
             import cv2
-            pan = cv2.resize(res.panoptic.astype(np.int32),
+            # crop the VALID stride-4 region before resizing to the original
+            # resolution (the maps live on the padded canvas)
+            h4, w4 = -(-h // 4), -(-w // 4)
+            pan = cv2.resize(res.panoptic[:h4, :w4].astype(np.int32),
                              (ow, oh), interpolation=cv2.INTER_NEAREST)
             seg_ids = np.cumsum(res.segment_valid.astype(np.int64))
             segments = [
@@ -206,7 +209,7 @@ class HIPIEPredictor:
                 for i in range(len(res.segment_valid)) if res.segment_valid[i]
             ]
             out["panoptic_seg"] = (pan, segments)
-            sem = res.sem_seg.argmax(0).astype(np.int32)
+            sem = res.sem_seg[:, :h4, :w4].argmax(0).astype(np.int32)
             out["sem_seg"] = cv2.resize(sem, (ow, oh),
                                         interpolation=cv2.INTER_NEAREST)
         return out

@@ -141,3 +141,53 @@ def test_flip_expression():
 
     assert flip_expression("the left dog") == "the right dog"
     assert flip_expression("right of the left car") == "left of the right car"
+
+
+def test_rfs_repeat_factors_and_sampler():
+    from hipie_tpu.data.loader import MultiDatasetSampler, rfs_repeat_factors
+
+    # rare category (in 1 of 100 images) gets upweighted, common one doesn't
+    records = [{"annotations": [{"category_id": 0}]} for _ in range(99)]
+    records.append({"annotations": [{"category_id": 1}]})
+    rf = rfs_repeat_factors(records, repeat_threshold=0.1)
+    assert rf[-1] > rf[0] and rf[0] == 1.0
+    assert rf[-1] == pytest.approx(np.sqrt(0.1 / 0.01))
+
+    s = MultiDatasetSampler([100], [1.0], seed=0, repeat_factors=[rf])
+    it = iter(s)
+    draws = [next(it)[1] for _ in range(2000)]
+    frac_rare = sum(1 for i in draws if i == 99) / len(draws)
+    # rare image sampled ~ rf/sum(rf) = 3.16/102.2 ~ 3.1% >> uniform 1%
+    assert frac_rare > 0.02
+
+
+def test_per_dataset_batch_sizes():
+    """USE_DIFF_BS_SIZE: a batch from dataset i has dataset_batch_sizes[i]
+    items (reference MDAspectRatioGroupedDataset/DIFF, :268-307)."""
+    from hipie_tpu.config import DataConfig
+    from hipie_tpu.data.loader import TrainLoader
+    import hipie_tpu.data.datasets as D
+
+    rng = np.random.RandomState(0)
+
+    def mkrec(i):
+        return {"image": (rng.rand(32, 32, 3) * 255).astype(np.uint8),
+                "annotations": [], "class_names": ["person"],
+                "class_is_thing": [True], "task": "detection", "_id": i}
+
+    D.register_dataset("_test_bs_a", lambda: [mkrec(i) for i in range(4)])
+    D.register_dataset("_test_bs_b", lambda: [mkrec(i) for i in range(4)])
+    cfg = DataConfig(use_diff_bs_size=True, dataset_batch_sizes=(3, 1),
+                     train_datasets=("_test_bs_a", "_test_bs_b"),
+                     dataset_ratios=(1.0, 1.0), lsj_crop=True, crop_size=32,
+                     max_text_len=16)
+    from hipie_tpu.data.mapper import HIPIEMapper
+    mapper = HIPIEMapper(cfg, make_tok(), is_train=True, max_gt=4, seed=0)
+    loader = TrainLoader(cfg, mapper, batch_size=2, seed=0)
+    assert loader.batch_sizes == [3, 1]
+    it = iter(loader.sampler)
+    sizes = set()
+    for _ in range(6):
+        batch = loader._make_batch(it)
+        sizes.add(batch["images"].shape[0])
+    assert sizes <= {3, 1} and len(sizes) == 2

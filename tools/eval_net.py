@@ -53,15 +53,26 @@ def main():
         params = state.params
     predictor = HIPIEPredictor(cfg, params, tok)
 
+    from hipie_tpu.data.datasets import DATASET_METADATA
+    from hipie_tpu.evaluation.evaluator import evaluate_semseg_dataset
+
     records = get_dataset(args.dataset)
     max_images = args.max_images or None
+    metadata = DATASET_METADATA.get(args.dataset, {})
+    ev_type = metadata.get("evaluator_type", "coco")
     if "refcoco" in args.dataset:
         results = evaluate_refcoco_dataset(predictor, records, max_images)
+    elif ev_type == "sem_seg":
+        results = evaluate_semseg_dataset(predictor, records, metadata,
+                                          max_images)
     else:
         meta = records[0]
+        tasks = args.tasks.split(",")
+        if ev_type == "panoptic" and "panoptic" not in tasks:
+            tasks = tasks + ["panoptic"]
         results = evaluate_detection_dataset(
             predictor, records, len(meta["class_names"]),
-            meta["class_is_thing"], tasks=args.tasks.split(","),
+            meta["class_is_thing"], tasks=tasks,
             max_images=max_images)
     print(json.dumps(results, indent=2))
 

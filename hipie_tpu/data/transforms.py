@@ -56,13 +56,13 @@ def fixed_size_crop(rng: np.random.RandomState, img: np.ndarray, size: int,
     y0 = rng.randint(0, max(h - size, 0) + 1)
     x0 = rng.randint(0, max(w - size, 0) + 1)
     img_c = img[y0:y0 + size, x0:x0 + size]
-    out_boxes = None
+    out_boxes = boxes            # empty arrays pass through unchanged
     if boxes is not None and len(boxes):
         out_boxes = boxes.copy()
         out_boxes[:, [0, 2]] -= x0
         out_boxes[:, [1, 3]] -= y0
         out_boxes = np.clip(out_boxes, 0, [img_c.shape[1], img_c.shape[0]] * 2)
-    out_masks = None
+    out_masks = masks
     if masks is not None and len(masks):
         out_masks = masks[:, y0:y0 + size, x0:x0 + size]
     return img_c, out_boxes, out_masks, (y0, x0)

@@ -45,15 +45,28 @@ def build_backbone(cfg: BackboneConfig, dtype: Any):
         chans = {k: v for k, v in vit_feature_channels(embed_dim).items()
                  if k in cfg.out_features}
         return mod, chans
-    if name == "swin":
-        from hipie_tpu.models.backbone.swin import SwinTransformer, swin_feature_channels
-        mod = SwinTransformer(out_features=cfg.out_features, dtype=dtype, name="backbone")
-        chans = {k: v for k, v in swin_feature_channels(96).items() if k in cfg.out_features}
+    if name.startswith("swin"):
+        from hipie_tpu.models.backbone.swin import (SWIN_VARIANTS,
+                                                    SwinTransformer,
+                                                    swin_feature_channels)
+        variant = name if name in SWIN_VARIANTS else "swin_tiny"
+        embed, depths, heads, window = SWIN_VARIANTS[variant]
+        mod = SwinTransformer(embed_dim=embed, depths=depths, num_heads=heads,
+                              window_size=window, out_features=cfg.out_features,
+                              dtype=dtype, name="backbone")
+        chans = {k: v for k, v in swin_feature_channels(embed).items()
+                 if k in cfg.out_features}
         return mod, chans
-    if name == "convnext":
-        from hipie_tpu.models.backbone.convnext import ConvNeXt, convnext_feature_channels
-        mod = ConvNeXt(out_features=cfg.out_features, dtype=dtype, name="backbone")
-        chans = {k: v for k, v in convnext_feature_channels("tiny").items()
+    if name.startswith("convnext"):
+        from hipie_tpu.models.backbone.convnext import (CONVNEXT_VARIANTS,
+                                                        ConvNeXt,
+                                                        convnext_feature_channels)
+        variant = name[len("convnext_"):] if "_" in name else "tiny"
+        if variant not in CONVNEXT_VARIANTS:
+            variant = "tiny"
+        mod = ConvNeXt(variant=variant, out_features=cfg.out_features,
+                       dtype=dtype, name="backbone")
+        chans = {k: v for k, v in convnext_feature_channels(variant).items()
                  if k in cfg.out_features}
         return mod, chans
     if name == "resnet_tiny":

@@ -158,3 +158,13 @@ class SwinTransformer(nn.Module):
 
 def swin_feature_channels(embed_dim: int = 96) -> Dict[str, int]:
     return {f"res{i + 2}": embed_dim * (2 ** i) for i in range(4)}
+
+
+SWIN_VARIANTS = {
+    # name: (embed_dim, depths, num_heads, window) — reference
+    # hipie/backbone/swin.py:498-770 D2SwinTransformer configs
+    "swin_tiny": (96, (2, 2, 6, 2), (3, 6, 12, 24), 7),
+    "swin_small": (96, (2, 2, 18, 2), (3, 6, 12, 24), 7),
+    "swin_base": (128, (2, 2, 18, 2), (4, 8, 16, 32), 12),
+    "swin_large": (192, (2, 2, 18, 2), (6, 12, 24, 48), 12),
+}

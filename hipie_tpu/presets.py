@@ -30,6 +30,19 @@ def vit_huge_coco_panoptic() -> HIPIEConfig:
     })
 
 
+def swin_large_coco_panoptic() -> HIPIEConfig:
+    """Swin-L backbone variant (reference hipie/backbone/swin.py is a
+    first-class MODEL.BACKBONE option; smoke config for the converter)."""
+    cfg = r50_coco_panoptic()
+    return apply_overrides(cfg, {"model.backbone.name": "swin_large"})
+
+
+def convnext_large_coco_panoptic() -> HIPIEConfig:
+    """ConvNeXt-L backbone variant (reference hipie/backbone/convnext.py)."""
+    cfg = r50_coco_panoptic()
+    return apply_overrides(cfg, {"model.backbone.name": "convnext_large"})
+
+
 def r50_refcoco() -> HIPIEConfig:
     """RefCOCO grounding eval (task='grounding' at call time)."""
     return r50_coco_panoptic()

@@ -214,6 +214,84 @@ def convert_vit(sd: Dict[str, Any], depth: int, prefix: str = "",
     return out
 
 
+def convert_swin(sd: Dict[str, Any], depths: Sequence[int] = (2, 2, 6, 2),
+                 prefix: str = "") -> Dict[str, Any]:
+    """Swin state dict (timm/d2 naming: patch_embed.proj/.norm,
+    layers.{s}.blocks.{i}.*, layers.{s}.downsample.{norm,reduction}, norm{s})
+    -> hipie_tpu SwinTransformer param tree.
+
+    Patch-merging order differs: torch concatenates [x(0,0), x(1,0), x(0,1),
+    x(1,1)] while our reshape produces [(0,0), (0,1), (1,0), (1,1)], so the
+    merge norm/reduction input channels are permuted with [0, 2, 1, 3].
+    reference: hipie/backbone/swin.py PatchMerging.
+    """
+    out: Dict[str, Any] = {
+        "patch_embed": t_conv(sd, f"{prefix}patch_embed.proj"),
+        "patch_norm": t_norm(sd, f"{prefix}patch_embed.norm"),
+    }
+    perm = [0, 2, 1, 3]
+    for s, depth in enumerate(depths):
+        for i in range(depth):
+            p = f"{prefix}layers.{s}.blocks.{i}"
+            out[f"stage{s}_block{i}"] = {
+                "norm1": t_norm(sd, f"{p}.norm1"),
+                "norm2": t_norm(sd, f"{p}.norm2"),
+                "attn": {
+                    "qkv": t_linear(sd, f"{p}.attn.qkv"),
+                    "proj": t_linear(sd, f"{p}.attn.proj"),
+                    "relative_position_bias_table": np.asarray(
+                        sd[f"{p}.attn.relative_position_bias_table"]),
+                },
+                "mlp_fc1": t_linear(sd, f"{p}.mlp.fc1"),
+                "mlp_fc2": t_linear(sd, f"{p}.mlp.fc2"),
+            }
+        dkey = f"{prefix}layers.{s}.downsample.reduction.weight"
+        if dkey in sd:
+            nw = t_norm(sd, f"{prefix}layers.{s}.downsample.norm")
+            c = nw["scale"].shape[0] // 4
+
+            def pvec(v):
+                return np.concatenate([v[k * c:(k + 1) * c] for k in perm])
+
+            out[f"merge_norm{s}"] = {"scale": pvec(nw["scale"]),
+                                     "bias": pvec(nw["bias"])}
+            red = t_linear(sd, f"{prefix}layers.{s}.downsample.reduction")
+            out[f"merge_reduce{s}"] = {"kernel": np.concatenate(
+                [red["kernel"][k * c:(k + 1) * c] for k in perm], axis=0)}
+    for s in range(len(depths)):
+        if f"{prefix}norm{s}.weight" in sd:
+            out[f"out_norm{s}"] = t_norm(sd, f"{prefix}norm{s}")
+    return out
+
+
+def convert_convnext(sd: Dict[str, Any], depths: Sequence[int] = (3, 3, 9, 3),
+                     prefix: str = "") -> Dict[str, Any]:
+    """ConvNeXt state dict (facebook naming: downsample_layers.{s}.{0,1},
+    stages.{s}.{i}.{dwconv,norm,pwconv1,pwconv2,gamma}, norm{s}) ->
+    hipie_tpu ConvNeXt param tree. reference: hipie/backbone/convnext.py:60-264."""
+    out: Dict[str, Any] = {
+        "stem_conv": t_conv(sd, f"{prefix}downsample_layers.0.0"),
+        "stem_norm": t_norm(sd, f"{prefix}downsample_layers.0.1"),
+    }
+    for s in range(1, len(depths)):
+        out[f"down_norm{s}"] = t_norm(sd, f"{prefix}downsample_layers.{s}.0")
+        out[f"down_conv{s}"] = t_conv(sd, f"{prefix}downsample_layers.{s}.1")
+    for s, depth in enumerate(depths):
+        for i in range(depth):
+            p = f"{prefix}stages.{s}.{i}"
+            out[f"stage{s}_block{i}"] = {
+                "dwconv": t_conv(sd, f"{p}.dwconv"),   # (C,1,7,7)->(7,7,1,C)
+                "norm": t_norm(sd, f"{p}.norm"),
+                "pwconv1": t_linear(sd, f"{p}.pwconv1"),
+                "pwconv2": t_linear(sd, f"{p}.pwconv2"),
+                "gamma": np.asarray(sd[f"{p}.gamma"]),
+            }
+    for s in range(len(depths)):
+        if f"{prefix}norm{s}.weight" in sd:
+            out[f"out_norm{s}"] = t_norm(sd, f"{prefix}norm{s}")
+    return out
+
+
 def _clip_block(sd: Dict[str, Any], prefix: str, heads: int) -> Dict[str, Any]:
     return {
         "ln_1": t_norm(sd, f"{prefix}.ln_1"),

@@ -146,7 +146,20 @@ def convert_hipie_checkpoint(sd: Dict[str, np.ndarray],
     bb = f"{d}.backbone.0.backbone."
     if any(k.startswith(bb + "stem") for k in sd):
         detr["backbone"] = convert_d2_resnet(sd, mc.backbone.resnet_depth, bb)
-    elif any(k.startswith(bb + "patch_embed") for k in sd):
+    elif any(k.startswith(bb + "layers.") for k in sd):           # Swin
+        from hipie_tpu.models.backbone.swin import SWIN_VARIANTS
+        from hipie_tpu.utils.converter import convert_swin
+        variant = mc.backbone.name if mc.backbone.name in SWIN_VARIANTS \
+            else "swin_tiny"
+        detr["backbone"] = convert_swin(sd, SWIN_VARIANTS[variant][1], bb)
+    elif any(k.startswith(bb + "stages.") for k in sd):           # ConvNeXt
+        from hipie_tpu.models.backbone.convnext import CONVNEXT_VARIANTS
+        from hipie_tpu.utils.converter import convert_convnext
+        variant = mc.backbone.name.replace("convnext_", "")
+        if variant not in CONVNEXT_VARIANTS:
+            variant = "tiny"
+        detr["backbone"] = convert_convnext(sd, CONVNEXT_VARIANTS[variant][0], bb)
+    elif any(k.startswith(bb + "patch_embed") for k in sd):       # ViTDet
         from hipie_tpu.models.backbone.vit import VIT_VARIANTS
         depth = VIT_VARIANTS[mc.backbone.name][1]
         detr["backbone"] = convert_vit(sd, depth, bb)

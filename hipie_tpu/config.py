@@ -78,6 +78,10 @@ class TransformerConfig:
     # background (stuff) queries
     num_bg_queries: int = 10
     use_bg_lang_queries: bool = True      # language-derived bg queries
+    # content-query source per task (reference deformable_transformer_dino.py
+    # :258-275 + config.py:12-13; the HIPIE driver configs set both True)
+    decouple_tgt: bool = True
+    still_tgt_for_both: bool = True
     remat: bool = False
 
 

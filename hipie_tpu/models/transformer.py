@@ -279,10 +279,22 @@ class VLDeformableTransformer(nn.Module):
             refs = jnp.concatenate(
                 [jax.nn.sigmoid(dn_refs_unact.astype(jnp.float32)), refs], axis=1)
 
-        # decoupled-tgt: HIPIE configs use STILL_TGT_FOR_BOTH=True, so the learned
-        # content queries drive both tasks; pooled language still enters through the
-        # two-stage scores and bg_queries_lang (reference :258-275).
-        tgt = tgt + 0.0 * ref_feat[:, None, :]
+        # content-query source (reference :258-275). The torch "+0.0*" tricks
+        # exist only to keep DDP parameters used; flax has no such constraint.
+        if c.decouple_tgt:
+            if not c.still_tgt_for_both and task == "grounding":
+                # grounding uses the pooled-language feature as the content of
+                # EVERY query slot (detection keeps the learned embeddings)
+                tgt = jnp.broadcast_to(ref_feat[:, None, :], tgt.shape).astype(
+                    self.dtype)
+        else:
+            # non-decoupled: content = pooled language for the matching
+            # queries; dn content (if any) stays
+            n_fixed = tgt.shape[1] - c.num_queries
+            lang_part = jnp.broadcast_to(
+                ref_feat[:, None, :], (b, c.num_queries, c.d_model)
+            ).astype(self.dtype)
+            tgt = jnp.concatenate([tgt[:, :n_fixed], lang_part], axis=1)
         init_reference = refs
 
         # ---- decoder with iterative refinement ---------------------------------

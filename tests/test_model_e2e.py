@@ -87,3 +87,26 @@ def test_forward_deterministic(tiny_model):
     a = np.asarray(f(params, *args))
     b = np.asarray(f(params, *args))
     np.testing.assert_array_equal(a, b)
+
+
+def test_decoupled_tgt_grounding_uses_language():
+    """STILL_TGT_FOR_BOTH=False: grounding queries take the pooled-language
+    content (reference deformable_transformer_dino.py:258-275)."""
+    from hipie_tpu.config import apply_overrides, tiny_test_config
+
+    cfg = apply_overrides(tiny_test_config(),
+                          {"model.transformer.still_tgt_for_both": False})
+    model = HIPIEModel(cfg.model)
+    b, H, W, L = 1, 64, 64, 16
+    images = jnp.linspace(0, 255, b * H * W * 3).reshape(b, H, W, 3)
+    pad = jnp.zeros((b, H, W), bool)
+    ids = jnp.arange(L)[None].astype(jnp.int32) % 16
+    am = jnp.ones((b, L), jnp.int32)
+    sizes = jnp.array([[H, W]])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images, pad, ids, am, sizes)
+    out_det = model.apply(params, images, pad, ids, am, sizes, task="detection")
+    out_gnd = model.apply(params, images, pad, ids, am, sizes, task="grounding")
+    # with decoupled content the two tasks produce genuinely different logits
+    assert not np.allclose(np.asarray(out_det["pred_logits"]),
+                           np.asarray(out_gnd["pred_logits"]), atol=1e-4)
+    assert np.isfinite(np.asarray(out_gnd["pred_logits"])).all()

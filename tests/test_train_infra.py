@@ -155,3 +155,37 @@ def test_param_sharding_rules():
     assert param_spec("detr/backbone/run_12/block/attn/qkv/kernel",
                       (20, 64, 193), 2) == P()
     assert param_spec("anything/else/kernel", (8, 8), 2) == P()
+
+
+def test_train_step_without_dn():
+    """Non-DN variant (reference DDETRSegmUni, USE_DINO=False): the train step
+    runs with dn.enabled=False — no dn slots, fg/bg passes only."""
+    from hipie_tpu.config import apply_overrides, tiny_test_config
+    from hipie_tpu.models.hipie import HIPIEModel
+    from hipie_tpu.train.step import TrainBatch, create_train_state, make_train_step
+
+    cfg = apply_overrides(tiny_test_config(), {
+        "model.dn.enabled": False, "solver.warmup_iters": 0})
+    model = HIPIEModel(cfg.model)
+    rng = np.random.RandomState(0)
+    b, H, W, L, G = 1, 64, 64, 16, 4
+    from hipie_tpu.losses.criterion import Targets
+    t = Targets(
+        labels=jnp.zeros((b, G), jnp.int32),
+        boxes=jnp.asarray(rng.uniform(0.3, 0.6, (b, G, 4)).astype(np.float32)),
+        masks=jnp.asarray((rng.rand(b, G, 16, 16) > 0.5).astype(np.float32)),
+        positive_map=jnp.asarray(np.eye(G, L, 1, dtype=np.float32)[None]),
+        is_thing=jnp.ones((b, G), bool),
+        valid=jnp.asarray([[True, True, False, False]]),
+    )
+    batch = TrainBatch(
+        images=jnp.asarray(rng.rand(b, H, W, 3).astype(np.float32) * 255),
+        pad_mask=jnp.zeros((b, H, W), bool),
+        input_ids=jnp.arange(L)[None].astype(jnp.int32) % 16,
+        lang_mask=jnp.ones((b, L), jnp.int32),
+        image_sizes=jnp.asarray([[H, W]], jnp.int32),
+        targets=t)
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
+    step = make_train_step(model, cfg, tx)
+    state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))

@@ -228,15 +228,19 @@ def convert_hipie_checkpoint(sd: Dict[str, np.ndarray],
     if any(k.startswith(md) for k in sd):
         mdc = mc.maskdino
         pix = f"{md}.pixel_decoder"
-        pd: Dict[str, Any] = {"level_embed": np.asarray(
-            sd[f"{pix}.transformer.level_embed"])}
+        # shared-encoder mode (ddetrs_dn.py:636-650) has no pixel-decoder
+        # deformable encoder of its own — those keys are absent from the ckpt.
+        pd: Dict[str, Any] = {}
+        if f"{pix}.transformer.level_embed" in sd:
+            pd["level_embed"] = np.asarray(sd[f"{pix}.transformer.level_embed"])
         for i in range(4):
             p = f"{pix}.input_proj.{i}"
             if f"{p}.0.weight" in sd:
                 pd[f"input_proj_{i}"] = t_conv_gn(sd, f"{p}.0", f"{p}.1")
         for i in range(mdc.enc_layers):
-            pd[f"enc_layers_{i}"] = convert_enc_layer(
-                sd, f"{pix}.transformer.encoder.layers.{i}")
+            if f"{pix}.transformer.encoder.layers.{i}.norm1.weight" in sd:
+                pd[f"enc_layers_{i}"] = convert_enc_layer(
+                    sd, f"{pix}.transformer.encoder.layers.{i}")
         if f"{pix}.adapter_1.weight" in sd:
             pd["adapter_1"] = t_conv_gn(sd, f"{pix}.adapter_1",
                                         f"{pix}.adapter_1.norm")

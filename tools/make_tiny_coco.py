@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Generate a tiny synthetic COCO-panoptic dataset (real files on disk).
+
+Produces the exact directory layout `hipie_tpu.data.datasets.load_coco_panoptic`
+expects (panopticapi format: id = R + 256G + 65536B pngs + json), so the FULL
+data pipeline — registry -> loader -> mapper -> train step — can be exercised
+end-to-end without COCO downloads (this environment has no network egress).
+
+Images are shape scenes: a stuff background split into 2 color bands
+(sky / grass) plus 1-4 thing instances (circle / square / triangle) with
+per-category base colors, drawn over pixel noise so the backbone has texture
+to fit. Category names are common English words, so any WordPiece vocab
+(including the toy vocab) tokenizes them.
+
+Usage: python tools/make_tiny_coco.py [--root DIR] [--n-train 48] [--n-val 16]
+       [--size 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+THINGS = [
+    ("circle", (220, 40, 40)),
+    ("square", (40, 220, 40)),
+    ("triangle", (40, 40, 220)),
+]
+STUFF = [
+    ("sky", (90, 150, 230)),
+    ("grass", (60, 170, 80)),
+]
+
+
+def _draw_instance(img, pan, rng, kind, color, seg_id, size):
+    import cv2
+    r = int(rng.randint(size // 12, size // 5))
+    cx = int(rng.randint(r, size - r))
+    cy = int(rng.randint(r, size - r))
+    mask = np.zeros((size, size), np.uint8)
+    if kind == "circle":
+        cv2.circle(mask, (cx, cy), r, 1, -1)
+    elif kind == "square":
+        cv2.rectangle(mask, (cx - r, cy - r), (cx + r, cy + r), 1, -1)
+    else:  # triangle
+        pts = np.array([[cx, cy - r], [cx - r, cy + r], [cx + r, cy + r]])
+        cv2.fillPoly(mask, [pts], 1)
+    m = mask.astype(bool)
+    jitter = rng.randint(-25, 25, 3)
+    img[m] = np.clip(np.asarray(color) + jitter, 0, 255)
+    pan[m] = seg_id
+    return m
+
+
+def make_split(root, split, n_images, size, seed):
+    import cv2
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, "coco", split)
+    pan_dir = os.path.join(root, "coco", f"panoptic_{split}")
+    ann_dir = os.path.join(root, "coco", "annotations")
+    for d in (img_dir, pan_dir, ann_dir):
+        os.makedirs(d, exist_ok=True)
+
+    categories = []
+    for i, (name, _) in enumerate(THINGS):
+        categories.append({"id": i + 1, "name": name, "isthing": 1})
+    for i, (name, _) in enumerate(STUFF):
+        categories.append({"id": 100 + i, "name": name, "isthing": 0})
+
+    images, annotations = [], []
+    for idx in range(n_images):
+        img_id = idx + 1
+        fname = f"{img_id:012d}"
+        img = (rng.randn(size, size, 3) * 12 + 128).clip(0, 255).astype(np.uint8)
+        pan = np.zeros((size, size), np.int32)
+
+        # stuff: horizontal split at a random height
+        horizon = int(rng.randint(size // 4, 3 * size // 4))
+        segments = []
+        for si, ((name, color), sl) in enumerate(
+                zip(STUFF, [np.s_[:horizon], np.s_[horizon:]])):
+            seg_id = 1000 + si
+            img[sl] = np.clip(
+                np.asarray(color) + rng.randint(-20, 20, 3), 0, 255)
+            pan[sl] = seg_id
+            segments.append({"id": seg_id, "category_id": 100 + si,
+                             "iscrowd": 0,
+                             "area": int((pan == seg_id).sum())})
+        # re-add noise over stuff regions
+        img = np.clip(img.astype(np.int16)
+                      + rng.randn(size, size, 3) * 8, 0, 255).astype(np.uint8)
+
+        n_inst = int(rng.randint(1, 5))
+        for k in range(n_inst):
+            ci = int(rng.randint(len(THINGS)))
+            kind, color = THINGS[ci]
+            seg_id = 2000 + k
+            m = _draw_instance(img, pan, rng, kind, color, seg_id, size)
+            area = int(m.sum())
+            if area < 16:
+                continue
+            segments.append({"id": seg_id, "category_id": ci + 1,
+                             "iscrowd": 0, "area": area})
+        # drop fully-occluded segments
+        segments = [s for s in segments if (pan == s["id"]).any()]
+        for s in segments:
+            s["area"] = int((pan == s["id"]).sum())
+
+        cv2.imwrite(os.path.join(img_dir, fname + ".jpg"), img[:, :, ::-1])
+        png = np.stack([pan % 256, (pan // 256) % 256, pan // 65536],
+                       -1).astype(np.uint8)
+        cv2.imwrite(os.path.join(pan_dir, fname + ".png"), png[:, :, ::-1])
+        images.append({"id": img_id, "file_name": fname + ".jpg",
+                       "height": size, "width": size})
+        annotations.append({"image_id": img_id, "file_name": fname + ".png",
+                            "segments_info": segments})
+
+    with open(os.path.join(ann_dir, f"panoptic_{split}.json"), "w") as f:
+        json.dump({"images": images, "annotations": annotations,
+                   "categories": categories}, f)
+    return len(images)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", default="/tmp/tiny_coco")
+    p.add_argument("--n-train", type=int, default=48)
+    p.add_argument("--n-val", type=int, default=16)
+    p.add_argument("--size", type=int, default=512)
+    args = p.parse_args()
+    n = make_split(args.root, "train2017", args.n_train, args.size, seed=0)
+    m = make_split(args.root, "val2017", args.n_val, args.size, seed=1)
+    print(f"wrote {n} train + {m} val images under {args.root} "
+          f"(set HIPIE_DATASETS={args.root})")
+
+
+if __name__ == "__main__":
+    main()

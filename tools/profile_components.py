@@ -4,9 +4,13 @@ Times the full pipeline and ablated variants with distinct inputs per
 iteration; differences attribute time to components. See PERFORMANCE.md.
 """
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def run(tag, cfg_edit, iters=5, size=1024):
@@ -62,10 +66,14 @@ if __name__ == "__main__":
     variants = {
         "full": {},
         "no_maskdino": {"model.maskdino.enabled": False},
-        "enc0": {"model.transformer.num_encoder_layers": 0},
+        "enc1": {"model.transformer.num_encoder_layers": 1},
+        "dec1": {"model.transformer.num_decoder_layers": 1},
         "resnet": {"model.backbone.name": "resnet50",
                    "model.backbone.vit_remat": False},
         "enc_points1": {"model.transformer.enc_n_points": 1},
     }
     for tag in which:
-        run(tag, variants[tag])
+        try:
+            run(tag, variants[tag])
+        except Exception as e:  # keep profiling the rest
+            print(f"{tag:40s} FAILED: {type(e).__name__}: {e}", flush=True)

@@ -27,6 +27,7 @@ def parse_args():
     p.add_argument("--weights", default="")
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--vocab", default="", help="bert vocab.txt path")
+    p.add_argument("--log-period", type=int, default=20)
     p.add_argument("opts", nargs="*", default=[])
     return p.parse_args()
 
@@ -80,7 +81,7 @@ def main():
             params=jax.device_put(state.params, shard_params(state.params, mesh)))
         step = make_train_step(model, cfg, tx)
         trainer = Trainer(cfg, model, state, tx, step, loader,
-                          batch_sharding=bsh)
+                          batch_sharding=bsh, log_period=args.log_period)
         trainer.resume_or_load(args.weights or None, resume=args.resume)
         if args.eval_only:
             raise SystemExit("use tools/eval_net.py for evaluation")

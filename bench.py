@@ -62,13 +62,17 @@ def main():
         for _ in range(iters)
     ]
 
+    def force(res):
+        # On the tunneled platform block_until_ready may not synchronize
+        # (PERFORMANCE.md): force a host transfer of one scalar instead.
+        return float(np.asarray(jax.tree_util.tree_leaves(res)[0].sum()))
+
     # warmup/compile
-    r = fn(params, images, pad, ids, am, sizes)
-    jax.block_until_ready(r)
+    force(fn(params, images, pad, ids, am, sizes))
     t0 = time.perf_counter()
     for im in inputs:
         r = fn(params, im, pad, ids, am, sizes)
-    jax.block_until_ready(r)
+    force(r)
     dt = time.perf_counter() - t0
     ips = batch * iters / dt
 

@@ -36,7 +36,8 @@ def evaluate_detection_dataset(
 ) -> Dict[str, float]:
     """Run the predictor over COCO-style records and compute AP (+PQ/mIoU when
     panoptic outputs are present)."""
-    from hipie_tpu.data.datasets import decode_segmentation, load_image
+    from hipie_tpu.data.datasets import (decode_segmentation, load_image,
+                                         materialize_record)
 
     evaluators: Dict[str, Any] = {}
     if "bbox" in tasks:
@@ -51,6 +52,12 @@ def evaluate_detection_dataset(
     for rec in records:
         if max_images is not None and n >= max_images:
             break
+        # panoptic records carry GT lazily (pan_seg_file + segments):
+        # materialize decodes the png into instance annotations + pan/sem GT.
+        if rec.get("pan_seg_file") or any(
+                a.get("segmentation_raw") is not None
+                for a in rec.get("annotations", [])):
+            rec = materialize_record(rec)
         img = rec.get("image")
         if img is None:
             img = load_image(rec["file_name"])

@@ -122,8 +122,14 @@ def loss_masks_pointwise(rng, mask_logits, gt_masks, pair_valid, num_boxes,
     coords = uncertain_point_coords(
         rng, jax.lax.stop_gradient(ml), cfg.num_points, cfg.oversample_ratio,
         cfg.importance_sample_ratio)
-    logits = point_sample(ml, coords)                       # (BK, P)
-    labels = jax.lax.stop_gradient(point_sample(gm, coords))
+    if ml.shape == gm.shape:
+        # one fused gather for pred + GT (same coords, same geometry)
+        from hipie_tpu.losses.point_features import point_sample_pair
+        logits, labels = point_sample_pair(ml, gm, coords)  # (BK, P) each
+    else:
+        logits = point_sample(ml, coords)                   # (BK, P)
+        labels = point_sample(gm, coords)
+    labels = jax.lax.stop_gradient(labels)
     v = pair_valid.reshape(b * k, 1).astype(jnp.float32)
 
     # sigmoid focal (alpha=0.25, gamma=2): mean over points, sum over instances,

@@ -137,3 +137,27 @@ def test_jit_and_dtype():
     np.testing.assert_allclose(
         np.asarray(out_bf16, np.float32), np.asarray(out_f32), rtol=3e-2, atol=3e-2
     )
+
+
+@pytest.mark.parametrize("method", ["flat2", "flat2_bf16"])
+def test_flat2_matches_naive(method):
+    rng = np.random.default_rng(7)
+    value, shapes, loc, w = make_inputs(rng)
+    got = np.asarray(ms_deform_attn_jnp(
+        jnp.array(value), shapes, jnp.array(loc), jnp.array(w), method))
+    want = naive_msda(value, shapes, loc, w)
+    tol = dict(rtol=2e-2, atol=2e-2) if "bf16" in method \
+        else dict(rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got, want, **tol)
+
+
+def test_flat2_bf16_matches_flat_bf16():
+    """Same math, different op ordering: results should agree to bf16 noise."""
+    rng = np.random.default_rng(11)
+    value, shapes, loc, w = make_inputs(rng, b=1, q=64, m=4, d=16,
+                                        shapes=((8, 8), (4, 4)), p=4)
+    a = np.asarray(ms_deform_attn_jnp(
+        jnp.array(value), shapes, jnp.array(loc), jnp.array(w), "flat_bf16"))
+    b_ = np.asarray(ms_deform_attn_jnp(
+        jnp.array(value), shapes, jnp.array(loc), jnp.array(w), "flat2_bf16"))
+    np.testing.assert_allclose(a, b_, rtol=2e-2, atol=2e-2)

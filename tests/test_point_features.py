@@ -1,0 +1,84 @@
+"""point_sample parity vs torch F.grid_sample (the reference's implementation
+substrate: detectron2 point_features.py point_sample wraps grid_sample with
+grid = 2*coords - 1, align_corners=False, zeros padding)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hipie_tpu.losses.point_features import (point_sample, point_sample_pair,
+                                             uncertain_point_coords)
+
+
+def torch_point_sample(masks, coords):
+    import torch
+    import torch.nn.functional as F
+    t = torch.from_numpy(masks).float().unsqueeze(1)          # (N, 1, H, W)
+    g = torch.from_numpy(coords).float().unsqueeze(2) * 2 - 1  # (N, P, 1, 2)
+    out = F.grid_sample(t, g, mode="bilinear", padding_mode="zeros",
+                        align_corners=False)
+    return out.squeeze(1).squeeze(-1).numpy()                  # (N, P)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_matches_grid_sample(seed):
+    rng = np.random.RandomState(seed)
+    masks = rng.randn(5, 13, 17).astype(np.float32)
+    # include out-of-range coords to exercise zero padding
+    coords = rng.uniform(-0.2, 1.2, (5, 37, 2)).astype(np.float32)
+    got = np.asarray(point_sample(jnp.asarray(masks), jnp.asarray(coords)))
+    want = torch_point_sample(masks, coords)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_bool_masks_and_batch_dims():
+    rng = np.random.RandomState(3)
+    masks = rng.rand(2, 4, 8, 8) > 0.5
+    coords = rng.uniform(0, 1, (2, 4, 11, 2)).astype(np.float32)
+    got = np.asarray(point_sample(jnp.asarray(masks), jnp.asarray(coords)))
+    want = torch_point_sample(
+        masks.reshape(8, 8, 8).astype(np.float32),
+        coords.reshape(8, 11, 2)).reshape(2, 4, 11)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pair_matches_two_calls():
+    rng = np.random.RandomState(4)
+    a = rng.randn(6, 16, 16).astype(np.float32)
+    b = (rng.rand(6, 16, 16) > 0.5).astype(np.float32)
+    coords = rng.uniform(0, 1, (6, 33, 2)).astype(np.float32)
+    pa, pb = point_sample_pair(jnp.asarray(a), jnp.asarray(b),
+                               jnp.asarray(coords))
+    np.testing.assert_allclose(
+        np.asarray(pa),
+        np.asarray(point_sample(jnp.asarray(a), jnp.asarray(coords))),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(pb),
+        np.asarray(point_sample(jnp.asarray(b), jnp.asarray(coords))),
+        rtol=1e-6)
+
+
+def test_point_sample_grad():
+    rng = np.random.RandomState(5)
+    masks = jnp.asarray(rng.randn(2, 8, 8).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(0, 1, (2, 9, 2)).astype(np.float32))
+
+    def f(m):
+        return point_sample(m, coords).sum()
+
+    g = jax.grad(f)(masks)
+    eps = 1e-3
+    m2 = masks.at[1, 3, 4].add(eps)
+    fd = (f(m2) - f(masks)) / eps
+    assert abs(float(g[1, 3, 4]) - float(fd)) < 1e-2
+
+
+def test_uncertain_coords_shape():
+    rng = np.random.RandomState(6)
+    ml = jnp.asarray(rng.randn(3, 16, 16).astype(np.float32))
+    c = uncertain_point_coords(jax.random.PRNGKey(0), ml, 64)
+    assert c.shape == (3, 64, 2)
+    assert float(c.min()) >= 0.0 and float(c.max()) <= 1.0

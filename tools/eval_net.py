@@ -43,10 +43,12 @@ def main():
            else WordPieceTokenizer.toy())
     model = HIPIEModel(cfg.model)
     L = cfg.data.max_text_len
+    # init size must give the encoder more tokens than the two-stage top-k
+    # (900 proposals) — 512^2 -> 5440 tokens at strides 8..64.
     params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
-        jnp.zeros((1, 64, 64), bool), jnp.zeros((1, L), jnp.int32),
-        jnp.ones((1, L), jnp.int32), jnp.asarray([[64, 64]]))
+        jax.random.PRNGKey(0), jnp.zeros((1, 512, 512, 3)),
+        jnp.zeros((1, 512, 512), bool), jnp.zeros((1, L), jnp.int32),
+        jnp.ones((1, L), jnp.int32), jnp.asarray([[512, 512]]))
     if args.weights:
         state = TrainState(params, None, 0)
         state, _ = resume_or_load("", state, args.weights, resume=False)

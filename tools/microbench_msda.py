@@ -67,6 +67,8 @@ def main(which):
         "corner4": chain(lambda v, l, w: ms_deform_attn_jnp(v, SHAPES, l, w, "corner4")),
         "flat_bf16": chain(lambda v, l, w: ms_deform_attn_jnp(v, SHAPES, l, w, "flat_bf16")),
         "flat_fp32": chain(lambda v, l, w: ms_deform_attn_jnp(v, SHAPES, l, w, "flat")),
+        "flat2_bf16": chain(lambda v, l, w: ms_deform_attn_jnp(v, SHAPES, l, w, "flat2_bf16")),
+        "flat2_fp32": chain(lambda v, l, w: ms_deform_attn_jnp(v, SHAPES, l, w, "flat2")),
     }
 
     names = which or list(variants)

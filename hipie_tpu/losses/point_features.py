@@ -21,49 +21,23 @@ import jax
 import jax.numpy as jnp
 
 
-def _quad_table(masks2d: jnp.ndarray) -> jnp.ndarray:
-    """(G, H, W) -> (G, (H+1)*(W+1), 4): row = 4 bilinear corners at y0,x0."""
-    g, h, w = masks2d.shape
-    mp = jnp.pad(masks2d, ((0, 0), (1, 1), (1, 1)))
-    quad = jnp.stack(
-        [mp[:, :-1, :-1], mp[:, :-1, 1:], mp[:, 1:, :-1], mp[:, 1:, 1:]],
-        axis=-1)                                     # (G, H+1, W+1, 4)
-    return quad.reshape(g, (h + 1) * (w + 1), 4)
-
-
 def point_sample(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Bilinear-sample (..., H, W) masks at (..., P, 2) normalized (x, y) coords.
 
     Matches F.grid_sample(align_corners=False, padding_mode='zeros') with
     grid = 2 * coords - 1. Leading dims of `masks` and `coords` must agree.
+
+    Delegates to ops.bilinear.bilinear_sample, whose custom VJP computes the
+    mask gradient by MXU-matmul splatting instead of XLA's scatter-add gather
+    transpose (~100x faster on TPU at mask-loss shapes; PERFORMANCE.md).
     """
+    from hipie_tpu.ops.bilinear import bilinear_sample
+
     h, w = masks.shape[-2], masks.shape[-1]
     batch = masks.shape[:-2]
     p = coords.shape[-2]
-    dtype = jnp.float32
-
-    table = _quad_table(masks.astype(dtype).reshape((-1,) + (h, w)))
-    g = table.shape[0]
-
-    x = coords[..., 0].reshape(g, p) * w - 0.5
-    y = coords[..., 1].reshape(g, p) * h - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    lx = (x - x0).astype(dtype)
-    ly = (y - y0).astype(dtype)
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    in_range = (x0i >= -1) & (x0i <= w - 1) & (y0i >= -1) & (y0i <= h - 1)
-    idx = ((jnp.clip(y0i, -1, h - 1) + 1) * (w + 1)
-           + (jnp.clip(x0i, -1, w - 1) + 1))         # (G, P) in-table rows
-    rows = (idx + (jnp.arange(g, dtype=jnp.int32) * (h + 1) * (w + 1))[:, None]
-            ).reshape(-1)
-
-    gathered = jnp.take(table.reshape(-1, 4), rows, axis=0)   # (G*P, 4)
-    cw = jnp.stack([(1 - ly) * (1 - lx), (1 - ly) * lx,
-                    ly * (1 - lx), ly * lx], axis=-1)         # (G, P, 4)
-    cw = cw * in_range[..., None].astype(dtype)
-    out = jnp.sum(gathered.reshape(g, p, 4) * cw, axis=-1)
+    out = bilinear_sample(masks.reshape((-1, h, w)),
+                          coords.reshape((-1, p, 2)))
     return out.reshape(batch + (p,))    # fp32
 
 

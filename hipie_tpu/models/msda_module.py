@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from hipie_tpu.ops.ms_deform_attn import ms_deform_attn_jnp
+from hipie_tpu.ops.ms_deform_attn import ms_deform_attn_train
 
 Shapes = Tuple[Tuple[int, int], ...]
 
@@ -88,6 +88,9 @@ class MSDeformAttn(nn.Module):
         # bf16 quad tables under a bf16 compute dtype (matches the reference's
         # AMP fp16 sampling envelope); exact fp32 path otherwise (tests).
         method = "flat_bf16" if self.dtype == jnp.bfloat16 else "flat"
-        out = ms_deform_attn_jnp(v, spatial_shapes, loc, weights, method)  # (B, Q, C) fp32
+        # custom-VJP wrapper: identical forward; hand-written backward (corner
+        # regather + analytic loc/weight grads + MXU splat for grad(value))
+        # instead of XLA's serialized scatter-add transpose (PERFORMANCE.md).
+        out = ms_deform_attn_train(v, spatial_shapes, loc, weights, method)  # (B, Q, C) fp32
         out = nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out.astype(self.dtype))
         return out

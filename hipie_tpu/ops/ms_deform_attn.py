@@ -459,3 +459,143 @@ def ms_deform_attn(
             value, spatial_shapes, sampling_locations, attention_weights, chunk_size
         )
     return ms_deform_attn_jnp(value, spatial_shapes, sampling_locations, attention_weights)
+
+
+# ---------------------------------------------------------------------------
+# Training wrapper with a hand-written VJP.
+#
+# XLA's automatic transpose of the sampling gather is a scatter-add, which on
+# TPU costs ~1.3 s per 13M rows (measured; PERFORMANCE.md) — it dominated the
+# whole train step. The custom backward instead:
+#   * re-gathers the 4 bilinear corner rows (row-count-bound, same cost class
+#     as the forward gather),
+#   * computes grad(sampling_locations) / grad(attention_weights) analytically
+#     from the corner values (the same closed forms as the reference CUDA
+#     backward, ms_deform_im2col_cuda.cuh ms_deformable_col2im_*), and
+#   * computes grad(value) as a chunked SEPARABLE one-hot matmul "splat":
+#     grad[h, w, d] = sum_p Wy[p, h] * Wx[p, w] * c[p, d] with Wy/Wx the
+#     2-nonzero bilinear corner-weight matrices (out-of-range corners vanish
+#     because one_hot of an out-of-range index is zero) — two MXU matmuls per
+#     chunk instead of a serialized scatter.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
+def ms_deform_attn_train(value, spatial_shapes, sampling_locations,
+                         attention_weights, method="flat2_bf16"):
+    """`ms_deform_attn_jnp` with a TPU-fast hand-written backward."""
+    return ms_deform_attn_jnp(value, spatial_shapes, sampling_locations,
+                              attention_weights, method)
+
+
+def _msda_train_fwd(value, spatial_shapes, loc, attw, method):
+    out = ms_deform_attn_jnp(value, spatial_shapes, loc, attw, method)
+    return out, (value, loc, attw)
+
+
+def _msda_train_bwd(spatial_shapes, method, res, gout):
+    value, loc, attw = res
+    b, s, m, d = value.shape
+    q, _, L, p, _ = loc.shape[1:]
+    f32 = jnp.float32
+    td = jnp.bfloat16 if method.endswith("bf16") else f32
+
+    value_t = jnp.transpose(value, (0, 2, 1, 3)).astype(td)   # (B, M, S, D)
+    loc_t = jnp.transpose(loc.astype(f32), (0, 2, 1, 3, 4, 5))  # (B,M,Q,L,P,2)
+    w_t = jnp.transpose(attw.astype(f32), (0, 2, 1, 3, 4))      # (B,M,Q,L,P)
+    gout_t = jnp.transpose(gout.reshape(b, q, m, d), (0, 2, 1, 3)).astype(f32)
+
+    grad_v_parts = []
+    grad_x_parts, grad_y_parts, grad_w_parts = [], [], []
+    start = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v_l = jax.lax.slice_in_dim(value_t, start, start + h * w, axis=2)
+        x = loc_t[:, :, :, lvl, :, 0] * w - 0.5                # (B, M, Q, P)
+        y = loc_t[:, :, :, lvl, :, 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        lx, ly = x - x0, y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        in_range = ((x0i >= -1) & (x0i <= w - 1)
+                    & (y0i >= -1) & (y0i <= h - 1)).astype(f32)
+        aw = w_t[:, :, :, lvl]                                 # (B, M, Q, P)
+
+        # corner regather via the level quad table (one row per sample)
+        vp = jnp.pad(v_l.reshape(b, m, h, w, d),
+                     ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+        quad = jnp.concatenate(
+            [vp[:, :, :-1, :-1], vp[:, :, :-1, 1:],
+             vp[:, :, 1:, :-1], vp[:, :, 1:, 1:]], axis=-1)
+        quad = quad.reshape(b, m, (h + 1) * (w + 1), 4 * d)
+        idx = ((jnp.clip(y0i, -1, h - 1) + 1) * (w + 1)
+               + (jnp.clip(x0i, -1, w - 1) + 1))               # (B, M, Q, P)
+        g = jax.vmap(jax.vmap(
+            lambda v, i: jnp.take(v, i.reshape(-1), axis=0)))(quad, idx)
+        g = g.reshape(b, m, q, p, 4, d).astype(f32)
+        v00, v01 = g[..., 0, :], g[..., 1, :]
+        v10, v11 = g[..., 2, :], g[..., 3, :]
+
+        cw = jnp.stack([(1 - ly) * (1 - lx), (1 - ly) * lx,
+                        ly * (1 - lx), ly * lx], axis=-1)      # (B,M,Q,P,4)
+        cw = cw * in_range[..., None]
+        sampled = jnp.einsum("bmqpcd,bmqpc->bmqpd", g, cw)
+        grad_w_parts.append(
+            jnp.einsum("bmqpd,bmqd->bmqp", sampled, gout_t))
+        dx = (1 - ly)[..., None] * (v01 - v00) + ly[..., None] * (v11 - v10)
+        dy = (1 - lx)[..., None] * (v10 - v00) + lx[..., None] * (v11 - v01)
+        gm = aw * in_range
+        grad_x_parts.append(
+            jnp.einsum("bmqpd,bmqd->bmqp", dx, gout_t) * gm * w)
+        grad_y_parts.append(
+            jnp.einsum("bmqpd,bmqd->bmqp", dy, gout_t) * gm * h)
+
+        # grad(value): chunked separable splat over the q*p points
+        n = q * p
+        cvec = (aw[..., None] * gout_t[:, :, :, None, :]).reshape(b, m, n, d)
+        xi = x0i.reshape(b, m, n)
+        yi = y0i.reshape(b, m, n)
+        lxf = lx.reshape(b, m, n)
+        lyf = ly.reshape(b, m, n)
+        chunk = max(128, min(n, (1 << 26) // max(1, b * m * w * d)))
+        n_chunks = -(-n // chunk)
+        pad = n_chunks * chunk - n
+        if pad:
+            cvec = jnp.pad(cvec, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            xi = jnp.pad(xi, ((0, 0), (0, 0), (0, pad)), constant_values=-7)
+            yi = jnp.pad(yi, ((0, 0), (0, 0), (0, pad)), constant_values=-7)
+            lxf = jnp.pad(lxf, ((0, 0), (0, 0), (0, pad)))
+            lyf = jnp.pad(lyf, ((0, 0), (0, 0), (0, pad)))
+
+        def body(acc, xs, h=h, w=w):
+            cv, xc, yc, lxc, lyc = xs
+            wy = (jax.nn.one_hot(yc, h, dtype=f32) * (1 - lyc)[..., None]
+                  + jax.nn.one_hot(yc + 1, h, dtype=f32) * lyc[..., None])
+            wx = (jax.nn.one_hot(xc, w, dtype=f32) * (1 - lxc)[..., None]
+                  + jax.nn.one_hot(xc + 1, w, dtype=f32) * lxc[..., None])
+            vxd = wx[..., None] * cv[..., None, :]             # (B,M,c,W,D)
+            upd = jnp.einsum("bmch,bmcE->bmhE",
+                             wy, vxd.reshape(b, m, chunk, w * d),
+                             preferred_element_type=f32)
+            return acc + upd, None
+
+        xs = tuple(v.reshape(b, m, n_chunks, chunk).transpose(2, 0, 1, 3)
+                   for v in (None, xi, yi, lxf, lyf) if v is not None)
+        cvx = cvec.reshape(b, m, n_chunks, chunk, d).transpose(2, 0, 1, 3, 4)
+        acc0 = jnp.zeros((b, m, h, w * d), f32)
+        gv_l, _ = jax.lax.scan(body, acc0, (cvx,) + xs)
+        grad_v_parts.append(gv_l.reshape(b, m, h * w, d))
+        start += h * w
+
+    grad_v = jnp.concatenate(grad_v_parts, axis=2)             # (B, M, S, D)
+    grad_v = jnp.transpose(grad_v, (0, 2, 1, 3)).astype(value.dtype)
+    gx = jnp.stack(grad_x_parts, axis=3)                       # (B,M,Q,L,P)
+    gy = jnp.stack(grad_y_parts, axis=3)
+    grad_loc = jnp.stack([gx, gy], axis=-1)                    # (B,M,Q,L,P,2)
+    grad_loc = jnp.transpose(grad_loc, (0, 2, 1, 3, 4, 5)).astype(loc.dtype)
+    grad_w = jnp.transpose(jnp.stack(grad_w_parts, axis=3),
+                           (0, 2, 1, 3, 4)).astype(attw.dtype)
+    return grad_v, grad_loc, grad_w
+
+
+ms_deform_attn_train.defvjp(_msda_train_fwd, _msda_train_bwd)

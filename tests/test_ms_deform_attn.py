@@ -161,3 +161,36 @@ def test_flat2_bf16_matches_flat_bf16():
     b_ = np.asarray(ms_deform_attn_jnp(
         jnp.array(value), shapes, jnp.array(loc), jnp.array(w), "flat2_bf16"))
     np.testing.assert_allclose(a, b_, rtol=2e-2, atol=2e-2)
+
+
+def test_train_vjp_matches_autodiff():
+    """ms_deform_attn_train's hand-written backward (corner regather +
+    analytic loc/weight grads + separable MXU splat for grad(value)) must
+    match jax.grad of the plain jnp implementation for all three inputs."""
+    from hipie_tpu.ops.ms_deform_attn import (ms_deform_attn_jnp,
+                                              ms_deform_attn_train)
+
+    rng = np.random.RandomState(3)
+    shapes = ((6, 8), (3, 4))
+    s = sum(h * w for h, w in shapes)
+    b, m, d, q, p = 2, 2, 4, 5, 3
+    L = len(shapes)
+    value = jnp.asarray(rng.randn(b, s, m, d).astype(np.float32))
+    # spread locs incl. out-of-range to exercise the zero-pad border
+    loc = jnp.asarray(rng.uniform(-0.1, 1.1,
+                                  (b, q, m, L, p, 2)).astype(np.float32))
+    w = rng.rand(b, q, m, L * p).astype(np.float32)
+    w = jnp.asarray(w / w.sum(-1, keepdims=True)).reshape(b, q, m, L, p)
+    cot = jnp.asarray(rng.randn(b, q, m * d).astype(np.float32))
+
+    def f_ref(v, l, a):
+        return (ms_deform_attn_jnp(v, shapes, l, a, "flat") * cot).sum()
+
+    def f_tr(v, l, a):
+        return (ms_deform_attn_train(v, shapes, l, a, "flat") * cot).sum()
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(value, loc, w)
+    g_tr = jax.grad(f_tr, argnums=(0, 1, 2))(value, loc, w)
+    for a, e, name in zip(g_tr, g_ref, ("value", "loc", "weights")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)

@@ -82,3 +82,33 @@ def test_uncertain_coords_shape():
     c = uncertain_point_coords(jax.random.PRNGKey(0), ml, 64)
     assert c.shape == (3, 64, 2)
     assert float(c.min()) >= 0.0 and float(c.max()) <= 1.0
+
+
+def test_custom_vjp_matches_torch_grads():
+    """The hand-written splat/analytic backward (ops/bilinear.py) must match
+    torch grid_sample autograd for BOTH masks and coords, incl. out-of-range
+    points (zero padding)."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(11)
+    masks = rng.randn(4, 11, 15).astype(np.float32)
+    coords = rng.uniform(-0.2, 1.2, (4, 29, 2)).astype(np.float32)
+    cot = rng.randn(4, 29).astype(np.float32)
+
+    t = torch.from_numpy(masks).float().unsqueeze(1).requires_grad_(True)
+    g = (torch.from_numpy(coords).float().unsqueeze(2) * 2 - 1
+         ).requires_grad_(True)
+    out = F.grid_sample(t, g, mode="bilinear", padding_mode="zeros",
+                        align_corners=False).squeeze(1).squeeze(-1)
+    out.backward(torch.from_numpy(cot))
+    t_gmask = t.grad.squeeze(1).numpy()
+    t_gcoord = g.grad.squeeze(2).numpy() * 2  # chain: grid = 2*coords - 1
+
+    def f(m, c):
+        return (point_sample(m, c) * cot).sum()
+
+    gm, gc = jax.grad(f, argnums=(0, 1))(jnp.asarray(masks),
+                                         jnp.asarray(coords))
+    np.testing.assert_allclose(np.asarray(gm), t_gmask, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gc), t_gcoord, rtol=1e-4, atol=1e-3)

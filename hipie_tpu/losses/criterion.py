@@ -210,49 +210,70 @@ def criterion_pass(
     num_layers = classes.shape[0]
 
     num_gt = targets.valid.sum().astype(jnp.float32)
-    zeros = jnp.zeros((num_layers,) + classes.shape[1:3], jnp.float32)
+    keys = jax.random.split(rng, num_layers)
+    ksplit = jax.vmap(jax.random.split)(keys)          # (L, 2, key)
+    k_match_all, k_pts_all = ksplit[:, 0], ksplit[:, 1]
+
+    # ---- matching for ALL layers up front (vmapped over the layer axis) ----
+    # Matching batches perfectly across layers, and the auction solver is a
+    # while_loop: running it once vmapped over (L, B) costs max-trip-count
+    # iterations instead of L sequential solves inside the scan (the scanned
+    # form serialized ~L x ~1k tiny latency-bound loop iterations).
+    if matcher == "fixed":
+        assign_all = jnp.broadcast_to(fixed_assign[None],
+                                      (num_layers,) + fixed_assign.shape)
+    elif matcher == "ota":
+        assign_all = jax.vmap(
+            lambda c, bx: jax.vmap(simota_match, in_axes=(0, 0, 0, 0, 0))(
+                jax.nn.sigmoid(c.astype(jnp.float32)), bx,
+                targets.boxes, targets.positive_map, targets.valid))(
+            classes, boxes)
+        assign_all = jax.lax.stop_gradient(assign_all)
+    else:  # hungarian with point-sampled mask costs (Mask2Former-style)
+        if dense_masks is not None:
+            masks_layers = dense_masks
+        else:
+            q = classes.shape[2]
+            all_q = jnp.broadcast_to(
+                jnp.arange(q)[None], classes.shape[1:3]).astype(jnp.int32)
+            masks_layers = jax.vmap(
+                lambda ct, rf: predict_matched_masks(
+                    all_q, ct, rf, mask_feats, image_sizes,
+                    weight_nums, bias_nums, dyn_channels))(ctrl, refs)
+
+        def match_one(cls_i, box_i, tb, pm, tv, ml, gm, key):
+            mc = mask_match_costs(key, ml, gm,
+                                  num_points=min(cfg.num_points, 2048),
+                                  cost_mask=cfg.mask_weight,
+                                  cost_dice=cfg.dice_weight)
+            return hungarian_vl_match(
+                jax.nn.sigmoid(cls_i.astype(jnp.float32)), box_i, tb, pm, tv,
+                cost_class=cfg.class_weight, cost_bbox=cfg.bbox_weight,
+                cost_giou=cfg.giou_weight, mask_cost=mc)
+
+        def match_layer(cls_l, box_l, ml_l, key):
+            b = cls_l.shape[0]
+            bkeys = jax.random.split(key, b)
+            return jax.vmap(match_one)(
+                cls_l, box_l, targets.boxes, targets.positive_map,
+                targets.valid, jax.lax.stop_gradient(ml_l), targets.masks,
+                bkeys)
+
+        assign_all = jax.lax.stop_gradient(jax.vmap(match_layer)(
+            classes, boxes, masks_layers, k_match_all))
+
     xs = {
         "cls": classes, "box": boxes,
         "iou": ious if ious is not None else None,
         "ctrl": ctrl, "refs": refs, "masks": dense_masks,
-        "keys": jax.random.split(rng, num_layers),
+        "assign": assign_all, "k_pts": k_pts_all,
     }
     xs = {k: v for k, v in xs.items() if v is not None}
 
     def layer_losses(x):
         cls_l, box_l = x["cls"], x["box"]
-        k_match, k_pts = jax.random.split(x["keys"])
-
-        if matcher == "fixed":
-            assign = fixed_assign
-        elif matcher == "ota":
-            assign = jax.vmap(simota_match, in_axes=(0, 0, 0, 0, 0))(
-                jax.nn.sigmoid(cls_l.astype(jnp.float32)), box_l,
-                targets.boxes, targets.positive_map, targets.valid)
-            assign = jax.lax.stop_gradient(assign)
-        else:  # hungarian with point-sampled mask costs (Mask2Former-style)
-            def match_one(cls_i, box_i, tb, pm, tv, ml, gm, key):
-                mc = mask_match_costs(key, ml, gm,
-                                      num_points=min(cfg.num_points, 2048),
-                                      cost_mask=cfg.mask_weight,
-                                      cost_dice=cfg.dice_weight)
-                return hungarian_vl_match(
-                    jax.nn.sigmoid(cls_i.astype(jnp.float32)), box_i, tb, pm, tv,
-                    cost_class=cfg.class_weight, cost_bbox=cfg.bbox_weight,
-                    cost_giou=cfg.giou_weight, mask_cost=mc)
-            b = cls_l.shape[0]
-            if "masks" in x:
-                masks_all = x["masks"]
-            else:
-                masks_all = predict_matched_masks(
-                    jnp.broadcast_to(jnp.arange(cls_l.shape[1])[None],
-                                     cls_l.shape[:2]).astype(jnp.int32),
-                    x["ctrl"], x["refs"], mask_feats, image_sizes,
-                    weight_nums, bias_nums, dyn_channels)
-            keys = jax.random.split(k_match, b)
-            assign = jax.lax.stop_gradient(jax.vmap(match_one)(
-                cls_l, box_l, targets.boxes, targets.positive_map, targets.valid,
-                jax.lax.stop_gradient(masks_all), targets.masks, keys))
+        k_pts = x["k_pts"]
+        assign = x["assign"]
 
         matched_count = (assign >= 0).sum().astype(jnp.float32)
         if matcher == "fixed":

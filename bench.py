@@ -18,6 +18,9 @@ import numpy as np
 
 def main():
     import jax
+
+    from hipie_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     size = int(os.environ.get("BENCH_SIZE", "1024"))

@@ -40,7 +40,13 @@ def latest_checkpoint(directory: str) -> Optional[str]:
 
 
 def restore_checkpoint(path: str, state):
-    restored = _ckptr().restore(os.path.abspath(path))
+    # restore against the live state's tree as the target so orbax rebuilds
+    # the exact pytree structure — without it, optax NamedTuple states (e.g.
+    # multi_transform's MultiTransformState) come back as plain dicts and the
+    # optimizer crashes on the first resumed step.
+    target = {"params": state.params, "opt_state": state.opt_state,
+              "step": np.asarray(0)}
+    restored = _ckptr().restore(os.path.abspath(path), item=target)
     return state._replace(
         params=restored["params"], opt_state=restored["opt_state"],
         step=jax.numpy.asarray(restored["step"]))

@@ -26,6 +26,9 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    from hipie_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from hipie_tpu import presets

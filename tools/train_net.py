@@ -35,6 +35,9 @@ def parse_args():
 def main():
     args = parse_args()
     import jax
+
+    from hipie_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from hipie_tpu import presets

@@ -59,7 +59,9 @@ def main():
 
     # Distinct inputs per iteration: repeated same-input timing through the
     # device tunnel is unreliable (result caching) — see PERFORMANCE.md.
-    rng = np.random.RandomState(0)
+    # distinct inputs per RUN as well as per iteration: the tunneled device
+    # caches (program, input) results across processes (PERFORMANCE.md)
+    rng = np.random.RandomState(int(time.time()) % 100000)
     inputs = [
         jnp.asarray(rng.uniform(0, 255, (batch, size, size, 3)).astype(np.float32))
         for _ in range(iters)

@@ -49,6 +49,21 @@ def _enc_cfg(c: MaskDINOConfig) -> TransformerConfig:
         num_feature_levels=4, enc_n_points=4, dec_n_points=4)
 
 
+class _PixDecScanBody(nn.Module):
+    """nn.scan body: one deformable encoder layer of the pixel decoder."""
+
+    cfg: TransformerConfig
+    spatial_shapes: Shapes
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, memory, pos_flat, enc_ref, mask_flat):
+        out = DeformableEncoderLayer(self.cfg, dtype=self.dtype,
+                                     name="layer")(
+            memory, pos_flat, enc_ref, self.spatial_shapes, mask_flat)
+        return out, None
+
+
 class MaskDINOPixelDecoder(nn.Module):
     """Deformable-encoder pixel decoder -> (mask_features s4, 4 level maps)."""
 
@@ -98,11 +113,16 @@ class MaskDINOPixelDecoder(nn.Module):
             valid_ratios = jnp.ones((b, 4, 2), jnp.float32)
             enc_ref = encoder_reference_points(spatial_shapes, valid_ratios)
             ecfg = _enc_cfg(c)
-            memory = src_flat
-            for i in range(c.enc_layers):
-                memory = DeformableEncoderLayer(ecfg, dtype=self.dtype,
-                                                name=f"enc_layers_{i}")(
-                    memory, pos_flat, enc_ref, spatial_shapes, mask_flat)
+            # scanned layers: one compiled body for all enc_layers (same
+            # pattern as the main transformer encoder) — the unrolled python
+            # loop compiled 6 separate encoder-scale MSDA layers whose layout
+            # copies alone cost ~20 ms/img at 1024^2 (PERFORMANCE.md).
+            scan = nn.scan(_PixDecScanBody, variable_axes={"params": 0},
+                           split_rngs={"params": True}, in_axes=nn.broadcast,
+                           length=c.enc_layers)
+            memory, _ = scan(ecfg, spatial_shapes, dtype=self.dtype,
+                             name="enc_layers")(
+                src_flat, pos_flat, enc_ref, mask_flat)
             # split levels back to maps: [s8, s16, s32, s64].
             level_maps = []
             start = 0

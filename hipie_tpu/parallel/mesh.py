@@ -69,6 +69,10 @@ _TP_RULES = [
     (r".*/(enc_layers|dec_layers)_\d+/linear1/kernel", P(None, "model")),
     (r".*/(enc_layers|dec_layers)_\d+/linear1/bias", P("model")),
     (r".*/(enc_layers|dec_layers)_\d+/linear2/kernel", P("model", None)),
+    # maskdino pixel-decoder encoder (scanned: leading layer axis).
+    (r".*/enc_layers/layer/linear1/kernel", P(None, None, "model")),
+    (r".*/enc_layers/layer/linear1/bias", P(None, "model")),
+    (r".*/enc_layers/layer/linear2/kernel", P(None, "model", None)),
 ]
 
 

@@ -237,10 +237,14 @@ def convert_hipie_checkpoint(sd: Dict[str, np.ndarray],
             p = f"{pix}.input_proj.{i}"
             if f"{p}.0.weight" in sd:
                 pd[f"input_proj_{i}"] = t_conv_gn(sd, f"{p}.0", f"{p}.1")
-        for i in range(mdc.enc_layers):
-            if f"{pix}.transformer.encoder.layers.{i}.norm1.weight" in sd:
-                pd[f"enc_layers_{i}"] = convert_enc_layer(
-                    sd, f"{pix}.transformer.encoder.layers.{i}")
+        pix_steps = [
+            {"layer": convert_enc_layer(
+                sd, f"{pix}.transformer.encoder.layers.{i}")}
+            for i in range(mdc.enc_layers)
+            if f"{pix}.transformer.encoder.layers.{i}.norm1.weight" in sd
+        ]
+        if pix_steps:
+            pd["enc_layers"] = stack_trees(pix_steps)
         if f"{pix}.adapter_1.weight" in sd:
             pd["adapter_1"] = t_conv_gn(sd, f"{pix}.adapter_1",
                                         f"{pix}.adapter_1.norm")

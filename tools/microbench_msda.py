@@ -9,8 +9,11 @@ inside ONE jit (scan over K distinct per-"layer" values) and we report per-layer
 time.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'))
 
 import numpy as np
 import jax
@@ -69,6 +72,7 @@ def main(which):
         "flat_fp32": chain(lambda v, l, w: ms_deform_attn_jnp(v, SHAPES, l, w, "flat")),
         "flat2_bf16": chain(lambda v, l, w: ms_deform_attn_jnp(v, SHAPES, l, w, "flat2_bf16")),
         "flat2_fp32": chain(lambda v, l, w: ms_deform_attn_jnp(v, SHAPES, l, w, "flat2")),
+        "flat3_bf16": chain(lambda v, l, w: ms_deform_attn_jnp(v, SHAPES, l, w, "flat3_bf16")),
     }
 
     names = which or list(variants)

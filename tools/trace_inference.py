@@ -58,7 +58,7 @@ def main():
 
     force(fn(params, images, pad, ids, am, sizes))
 
-    rng = np.random.RandomState(0)
+    rng = np.random.RandomState(int(__import__("time").time()) % 100000)
     im2 = jnp.asarray(
         rng.uniform(0, 255, (batch, size, size, 3)).astype(np.float32))
     outdir = "/tmp/infer_trace"

@@ -39,6 +39,7 @@ class Trainer:
         self.train_step = train_step
         self.loader = loader
         self.eval_fn = eval_fn
+        self._best_metric = float("-inf")
         self.storage = EventStorage(cfg.output_dir)
         self.profiler = Profiler(cfg.output_dir, start_iter=profile_at)
         self.log_period = log_period
@@ -94,4 +95,18 @@ class Trainer:
                 results = self.eval_fn(self.state.params)
                 self.storage.put_scalars(**{f"eval/{k}": v
                                             for k, v in results.items()})
+                # BestCheckpointer (reference engine/hooks.py BestCheckpointer):
+                # track cfg.test.best_metric (default: first result key) and
+                # keep a model_best checkpoint alongside the periodic ones.
+                metric = getattr(self.cfg.test, "best_metric", "") or \
+                    (sorted(results)[0] if results else "")
+                if metric in results:
+                    val = float(results[metric])
+                    if val > self._best_metric:
+                        self._best_metric = val
+                        save_checkpoint(self.cfg.output_dir, self.state, it)
+                        import os as _os
+                        with open(_os.path.join(self.cfg.output_dir,
+                                                "best_checkpoint"), "w") as f:
+                            f.write(f"model_{it:07d} {metric}={val}\n")
         return self.state

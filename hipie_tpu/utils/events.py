@@ -26,6 +26,18 @@ class EventStorage:
         self._start = time.time()
         self._iter_times: deque = deque(maxlen=window)
         self._last_tick = None
+        self._tb = None
+
+    def enable_tensorboard(self):
+        """Mirror scalars to TensorBoard (reference: TensorboardXWriter,
+        utils/events.py:131; W&B mirrors TB via sync_tensorboard). Uses
+        torch.utils.tensorboard (bundled with the baked-in torch); silently
+        disabled if unavailable."""
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(log_dir=os.path.join(self.output_dir, "tb"))
+        except Exception:
+            self._tb = None
 
     def put_scalars(self, **scalars):
         for k, v in scalars.items():
@@ -48,6 +60,9 @@ class EventStorage:
         rec = {"iteration": self.iter, **self._latest}
         with open(self._json_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in self._latest.items():
+                self._tb.add_scalar(k, v, self.iter)
 
     def log_console(self, max_iter: Optional[int] = None, lr: Optional[float] = None):
         it_time = (sum(self._iter_times) / len(self._iter_times)

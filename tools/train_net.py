@@ -28,6 +28,9 @@ def parse_args():
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--vocab", default="", help="bert vocab.txt path")
     p.add_argument("--log-period", type=int, default=20)
+    p.add_argument("--tensorboard", action="store_true",
+                   help="mirror metrics to <output_dir>/tb (reference: "
+                        "TensorboardXWriter + wandb sync_tensorboard)")
     p.add_argument("opts", nargs="*", default=[])
     return p.parse_args()
 
@@ -85,6 +88,8 @@ def main():
         step = make_train_step(model, cfg, tx)
         trainer = Trainer(cfg, model, state, tx, step, loader,
                           batch_sharding=bsh, log_period=args.log_period)
+        if args.tensorboard:
+            trainer.storage.enable_tensorboard()
         trainer.resume_or_load(args.weights or None, resume=args.resume)
         if args.eval_only:
             raise SystemExit("use tools/eval_net.py for evaluation")

@@ -276,6 +276,7 @@ def _register_builtin():
                 os.path.join(root, f"coco/annotations/panoptic_{split}.json"),
                 os.path.join(root, f"coco/{split}"),
                 os.path.join(root, f"coco/panoptic_{split}"))),
+            metadata={"evaluator_type": "panoptic"},
         )
     for split in ["refcoco-mixed", "refcoco-unc-val", "refcocoplus-unc-val",
                   "refcocog-umd-val"]:

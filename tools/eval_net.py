@@ -19,6 +19,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", default="coco_2017_val")
     p.add_argument("--preset", default="r50_coco_panoptic")
+    p.add_argument("--config-file", default="", help="YAML config (overrides --preset)")
     p.add_argument("--weights", default="")
     p.add_argument("--vocab", default="")
     p.add_argument("--max-images", type=int, default=0)
@@ -41,7 +42,9 @@ def main():
     from hipie_tpu.train.checkpoint import resume_or_load
     from hipie_tpu.train.step import TrainState
 
-    cfg = getattr(presets, args.preset)()
+    from hipie_tpu.config import load_config
+    cfg = (load_config(args.config_file) if args.config_file
+           else getattr(presets, args.preset)())
     tok = (WordPieceTokenizer.from_vocab_file(args.vocab) if args.vocab
            else WordPieceTokenizer.toy())
     model = HIPIEModel(cfg.model)

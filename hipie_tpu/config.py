@@ -278,6 +278,11 @@ def _replace_path(cfg: Any, path: str, value: Any) -> Any:
     head, _, rest = path.partition(".")
     if not rest:
         f = {f.name: f for f in fields(cfg)}[head]
+        if isinstance(value, str) and value[:1] in ("[", "(", "{"):
+            # CLI list/tuple literals, e.g. `solver.lr_decay_steps [1600,1800]`
+            # (reference: detectron2 CfgNode.merge_from_list literal_eval)
+            import ast
+            value = ast.literal_eval(value)
         if f.type in ("int", int):
             value = int(value)
         elif f.type in ("float", float):

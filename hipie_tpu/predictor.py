@@ -14,6 +14,7 @@ tokenization, resizing and final rescale to the original resolution.
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -69,6 +70,7 @@ class HIPIEPredictor:
         self.bucket = bucket
         self.model = HIPIEModel(cfg.model)
         self._jitted = {}
+        self._compile_lock = threading.Lock()  # AsyncPredictor workers share the jit cache
         # MODEL.CLIP.ENABLED: open-vocab MaskCLIP score ensembling. The scorer
         # holds the frozen CLIP towers + the per-label-set text-embed cache
         # (models/postprocess_clip.CLIPScorer); pass one built from converted
@@ -116,7 +118,9 @@ class HIPIEPredictor:
 
         key = (task, tuple(spec.class_names) if use_clip
                else len(spec.class_names), self.bucket, has_thing, n_bg_lang)
-        if key not in self._jitted:
+        with self._compile_lock:
+            populate = key not in self._jitted
+        if populate:
             model, tcfg, mcfg = self.model, cfg.test, cfg.model
 
             @functools.partial(jax.jit, static_argnames=())
@@ -133,7 +137,8 @@ class HIPIEPredictor:
                                        clip_overlap=clip_overlap,
                                        images01=images01,
                                        n_bg_lang=n_bg_lang)
-            self._jitted[key] = fn
+            with self._compile_lock:
+                self._jitted[key] = fn
 
         res = self._jitted[key](
             self.params,
@@ -259,3 +264,40 @@ class PartSegmDemo:
                 inst_mask = res["instances"]["masks"][0]
                 res["part_mask"] = inst_mask & (part_res["sem_seg"] == pid)
         return res
+
+
+class AsyncPredictor:
+    """Pipelined predictor: overlaps host pre/post-processing of one image
+    with device execution of another.
+
+    Reference analog: projects/HIPIE/predictor.py:154-243 AsyncPredictor,
+    which spreads inference over per-GPU worker PROCESSES. On TPU a single
+    SPMD device queue + JAX's async dispatch gives the same overlap with
+    plain threads: each worker thread runs the full predictor call (host
+    resize/tokenize -> device dispatch -> host mask rescale); device calls
+    from different threads serialize in the device queue while host work
+    overlaps.
+
+    Usage:
+        ap = AsyncPredictor(predictor, workers=2)
+        futs = [ap.submit(img, test_categories=cats) for img in images]
+        results = [f.result() for f in futs]          # in submission order
+    """
+
+    def __init__(self, predictor: "HIPIEPredictor", workers: int = 2):
+        import concurrent.futures
+
+        self.predictor = predictor
+        self.pool = concurrent.futures.ThreadPoolExecutor(max_workers=workers)
+
+    def submit(self, image: np.ndarray, **kwargs):
+        return self.pool.submit(self.predictor, image, **kwargs)
+
+    def map(self, images: Sequence[np.ndarray], **kwargs):
+        """Ordered results for a sequence of images (generator)."""
+        futs = [self.submit(im, **kwargs) for im in images]
+        for f in futs:
+            yield f.result()
+
+    def shutdown(self):
+        self.pool.shutdown(wait=True)

@@ -68,3 +68,24 @@ def test_part_segm_demo(predictor):
     assert len(parts["instance_part_maps"]) == len(res["instances"]["masks"])
     ref = demo.forward_reference(img, "the dog", part="head")
     assert "part_mask" in ref or len(ref["instances"]["masks"]) == 0
+
+
+def test_async_predictor_matches_sync(predictor):
+    """AsyncPredictor must return the same results as direct calls, in
+    submission order (reference predictor.py AsyncPredictor semantics)."""
+    import numpy as np
+    from hipie_tpu.predictor import AsyncPredictor
+
+    rng = np.random.RandomState(3)
+    images = [rng.randint(0, 255, (48, 64, 3), np.uint8) for _ in range(3)]
+    cats = ["person", "sky:stuff"]
+
+    sync = [predictor(im, test_categories=cats) for im in images]
+    ap = AsyncPredictor(predictor, workers=2)
+    out = list(ap.map(images, test_categories=cats))
+    ap.shutdown()
+    assert len(out) == len(sync)
+    for a, b in zip(out, sync):
+        np.testing.assert_allclose(a["instances"]["scores"],
+                                   b["instances"]["scores"], rtol=1e-5)
+        np.testing.assert_array_equal(a["panoptic_seg"][0], b["panoptic_seg"][0])

@@ -124,15 +124,50 @@ def make_split(root, split, n_images, size, seed):
     return len(images)
 
 
+def emit_ade_semseg(root: str):
+    """Mirror the tiny val split into the ADE20k directory layout
+    (images/validation + annotations_detectron2/validation) so the standard
+    `ade20k_sem_seg_val` registration (data/datasets_extra.py) can be
+    exercised end-to-end without the real dataset. GT ids are the tiny
+    category ids mapped into the 0-based ADE range; pixels beyond the tiny
+    vocab stay `ignore` (255)."""
+    import json as _json
+
+    import cv2
+    ann = _json.load(open(os.path.join(root, "coco/annotations/panoptic_val2017.json")))
+    img_dir = os.path.join(root, "ade/ADEChallengeData2016/images/validation")
+    gt_dir = os.path.join(root,
+                          "ade/ADEChallengeData2016/annotations_detectron2/validation")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(gt_dir, exist_ok=True)
+    for im, an in zip(ann["images"], ann["annotations"]):
+        img = cv2.imread(os.path.join(root, "coco/val2017", im["file_name"]))
+        cv2.imwrite(os.path.join(img_dir, im["file_name"]), img)
+        png = cv2.imread(os.path.join(root, "coco/panoptic_val2017",
+                                      an["file_name"]))[:, :, ::-1]
+        png = png.astype(np.int64)
+        pan = png[:, :, 0] + 256 * png[:, :, 1] + 65536 * png[:, :, 2]
+        sem = np.full(pan.shape, 255, np.uint8)
+        for seg in an["segments_info"]:
+            sem[pan == seg["id"]] = seg["category_id"] - 1
+        cv2.imwrite(os.path.join(gt_dir,
+                                 im["file_name"].replace(".jpg", ".png")), sem)
+    print(f"emitted ADE-layout semseg val ({len(ann['images'])} images)")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--root", default="/tmp/tiny_coco")
     p.add_argument("--n-train", type=int, default=48)
     p.add_argument("--n-val", type=int, default=16)
     p.add_argument("--size", type=int, default=512)
+    p.add_argument("--ade-semseg", action="store_true",
+                   help="also emit the val split in ADE20k directory layout")
     args = p.parse_args()
     n = make_split(args.root, "train2017", args.n_train, args.size, seed=0)
     m = make_split(args.root, "val2017", args.n_val, args.size, seed=1)
+    if args.ade_semseg:
+        emit_ade_semseg(args.root)
     print(f"wrote {n} train + {m} val images under {args.root} "
           f"(set HIPIE_DATASETS={args.root})")
 

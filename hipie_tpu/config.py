@@ -83,6 +83,13 @@ class TransformerConfig:
     decouple_tgt: bool = True
     still_tgt_for_both: bool = True
     remat: bool = False
+    # sequence parallelism (no reference analog — SURVEY §2.5: sharding the
+    # ~20k-token encoder sequence over the mesh 'model' axis is the natural
+    # image analog of SP). When True, a sharding constraint on the flattened
+    # token axis makes XLA partition the deformable encoder (MSDA gathers,
+    # VL fusion, FFNs) by tokens; values are all-gathered per layer (~11 MB
+    # at 1024^2, trivial over ICI).
+    shard_tokens: bool = False
 
 
 @dataclass(frozen=True)

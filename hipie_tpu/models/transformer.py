@@ -50,6 +50,41 @@ from hipie_tpu.utils.misc import inverse_sigmoid, sine_position_embedding_1d
 Shapes = Tuple[Tuple[int, int], ...]
 
 
+def _ambient_mesh():
+    """The mesh in scope, whether set via `with mesh:` (legacy thread-local)
+    or `jax.sharding.use_mesh` (abstract mesh). None if neither."""
+    try:
+        m = jax.sharding.get_abstract_mesh()
+        if m is not None and getattr(m, "axis_names", ()):
+            return m
+    except Exception:
+        pass
+    try:
+        from jax.interpreters import pxla
+        m = pxla.thread_resources.env.physical_mesh
+        if m is not None and not m.empty:
+            return m
+    except Exception:
+        pass
+    return None
+
+
+def _shard_tokens(x):
+    """Sharding constraint: partition the flattened token axis (axis 1) over
+    the mesh 'model' axis. No-op outside a mesh or when the mesh has no
+    'model' axis (single-device tests, CPU runs)."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = _ambient_mesh()
+    if mesh is None or "model" not in tuple(mesh.axis_names):
+        return x
+    spec = P(None, "model") if x.ndim == 2 else P(None, "model", None)
+    try:
+        return jax.lax.with_sharding_constraint(x, spec)
+    except Exception:
+        return x
+
+
 def encoder_reference_points(spatial_shapes: Shapes, valid_ratios: jnp.ndarray) -> jnp.ndarray:
     """Normalized grid-center reference points for every encoder token.
 
@@ -182,6 +217,15 @@ class VLDeformableTransformer(nn.Module):
         mask_flat = jnp.concatenate(mask_flat, axis=1)
         pos_flat = jnp.concatenate(pos_flat, axis=1).astype(self.dtype)
         valid_ratios = jnp.stack(valid_ratios, axis=1)        # (B, L, 2)
+
+        if c.shard_tokens:
+            # sequence parallelism over the mesh 'model' axis (SURVEY §2.5:
+            # image analog of SP — shard the ~20k flattened tokens; MSDA is a
+            # pure gather so XLA all-gathers the small per-layer value table
+            # while token-parallel matmuls/FFNs stay fully sharded).
+            src_flat = _shard_tokens(src_flat)
+            pos_flat = _shard_tokens(pos_flat)
+            mask_flat = _shard_tokens(mask_flat)
 
         # ---- encoder: scanned [VLFuse -> deformable layer [-> bert layer]] ----
         enc_ref = encoder_reference_points(spatial_shapes, valid_ratios)

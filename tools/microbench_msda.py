@@ -17,6 +17,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'
 
 import numpy as np
 import jax
+
+from hipie_tpu.utils.compile_cache import enable_compilation_cache
+enable_compilation_cache()
 import jax.numpy as jnp
 
 from hipie_tpu.ops.ms_deform_attn import ms_deform_attn_jnp

@@ -54,6 +54,8 @@ def make_batch(cfg, rng):
 
 def run(tag, edits, iters=3):
     import jax
+    from hipie_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     from hipie_tpu.config import apply_overrides, load_config
     from hipie_tpu.models.hipie import HIPIEModel
     from hipie_tpu.train.step import create_train_state, make_train_step
@@ -102,6 +104,11 @@ if __name__ == "__main__":
         "no_md_no_dn": {"model.maskdino.enabled": False,
                         "model.dn.enabled": False},
         "fwd_scale": {"solver.max_iter": 1},   # placeholder
+        "prod1024": {"data.crop_size": 1024, "solver.ims_per_batch": 1,
+                     "data.max_text_len": 128, "model.text.max_query_len": 128},
+        "prod1024_b2": {"data.crop_size": 1024, "solver.ims_per_batch": 2,
+                        "data.max_text_len": 128,
+                        "model.text.max_query_len": 128},
     }
     for tag in which:
         try:

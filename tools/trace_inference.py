@@ -17,6 +17,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     import jax
+    from hipie_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from hipie_tpu.models.hipie import HIPIEModel, hipie_inference

@@ -20,6 +20,8 @@ from tools.profile_train_step import make_batch
 
 def main():
     import jax
+    from hipie_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     from hipie_tpu.config import apply_overrides, load_config
     from hipie_tpu.models.hipie import HIPIEModel
     from hipie_tpu.train.step import create_train_state, make_train_step

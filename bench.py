@@ -42,6 +42,10 @@ def main():
 
     params = jax.jit(model.init)(jax.random.PRNGKey(0), images, pad, ids, am, sizes)
 
+    if os.environ.get("BENCH_CAST_BF16", "1") == "1":
+        from hipie_tpu.utils.misc import cast_params_bf16
+        params = cast_params_bf16(params)
+
     C = 133
     mw = np.zeros((C, L), np.float32)
     tm = np.zeros((C, L), bool)

@@ -51,3 +51,25 @@ def sine_position_embedding_1d(
     if exchange_xy and len(parts) >= 2:
         parts[0], parts[1] = parts[1], parts[0]
     return jnp.concatenate(parts, axis=-1)
+
+
+def cast_params_bf16(params):
+    """Cast float params to bfloat16 for inference.
+
+    The model computes in bf16 (model.dtype) but flax stores params fp32, so
+    every apply() re-converts the full parameter set on device — for ViT-H
+    that is ~5 ms/image of pure f32->bf16 converts of the stacked block
+    weights (HLO trace, PERFORMANCE.md). Pre-casting once removes them; the
+    fp32 islands (logits, box math, sampling) upcast their small per-use
+    operands on the fly. Matches the reference's fp16-autocast inference
+    envelope. Do NOT use for training state (optimizer needs fp32 masters).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def cast(x):
+        if hasattr(x, "dtype") and x.dtype == jnp.float32:
+            return x.astype(jnp.bfloat16)
+        return x
+
+    return jax.tree_util.tree_map(cast, params)

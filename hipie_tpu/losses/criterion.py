@@ -31,6 +31,8 @@ import jax.numpy as jnp
 
 from hipie_tpu.config import LossConfig
 from hipie_tpu.losses.matcher import (
+    auction_assignment,
+    hungarian_vl_costs,
     hungarian_vl_match,
     mask_match_costs,
     simota_match,
@@ -230,37 +232,49 @@ def criterion_pass(
             classes, boxes)
         assign_all = jax.lax.stop_gradient(assign_all)
     else:  # hungarian with point-sampled mask costs (Mask2Former-style)
-        if dense_masks is not None:
-            masks_layers = dense_masks
-        else:
-            q = classes.shape[2]
-            all_q = jnp.broadcast_to(
-                jnp.arange(q)[None], classes.shape[1:3]).astype(jnp.int32)
-            masks_layers = jax.vmap(
-                lambda ct, rf: predict_matched_masks(
-                    all_q, ct, rf, mask_feats, image_sizes,
-                    weight_nums, bias_nums, dyn_channels))(ctrl, refs)
-
-        def match_one(cls_i, box_i, tb, pm, tv, ml, gm, key):
+        # Build (L, B, Q, N) cost matrices first — with transient per-layer
+        # masks when they come from the dynamic-conv head (lax.map keeps peak
+        # memory at ONE layer's (B, Q, Hm, Wm); a vmap here would materialize
+        # all L layers at once, ~L x the old scan's peak) — then solve all
+        # L*B auctions in ONE batched while_loop (max- instead of
+        # sum-of-trip-counts across layers).
+        def cost_one(cls_i, box_i, tb, pm, ml, gm, key):
             mc = mask_match_costs(key, ml, gm,
                                   num_points=min(cfg.num_points, 2048),
                                   cost_mask=cfg.mask_weight,
                                   cost_dice=cfg.dice_weight)
-            return hungarian_vl_match(
-                jax.nn.sigmoid(cls_i.astype(jnp.float32)), box_i, tb, pm, tv,
+            return hungarian_vl_costs(
+                jax.nn.sigmoid(cls_i.astype(jnp.float32)), box_i, tb, pm,
                 cost_class=cfg.class_weight, cost_bbox=cfg.bbox_weight,
                 cost_giou=cfg.giou_weight, mask_cost=mc)
 
-        def match_layer(cls_l, box_l, ml_l, key):
-            b = cls_l.shape[0]
-            bkeys = jax.random.split(key, b)
-            return jax.vmap(match_one)(
+        def cost_layer(cls_l, box_l, ml_l, key):
+            bkeys = jax.random.split(key, cls_l.shape[0])
+            return jax.vmap(cost_one)(
                 cls_l, box_l, targets.boxes, targets.positive_map,
-                targets.valid, jax.lax.stop_gradient(ml_l), targets.masks,
-                bkeys)
+                jax.lax.stop_gradient(ml_l), targets.masks, bkeys)
 
-        assign_all = jax.lax.stop_gradient(jax.vmap(match_layer)(
-            classes, boxes, masks_layers, k_match_all))
+        if dense_masks is not None:
+            costs_all = jax.vmap(cost_layer)(
+                classes, boxes, dense_masks, k_match_all)
+        else:
+            q = classes.shape[2]
+            all_q = jnp.broadcast_to(
+                jnp.arange(q)[None], classes.shape[1:3]).astype(jnp.int32)
+
+            def layer_step(xs):
+                cls_l, box_l, ct, rf, key = xs
+                ml_l = predict_matched_masks(
+                    all_q, ct, rf, mask_feats, image_sizes,
+                    weight_nums, bias_nums, dyn_channels)
+                return cost_layer(cls_l, box_l, ml_l, key)
+
+            costs_all = jax.lax.map(
+                layer_step, (classes, boxes, ctrl, refs, k_match_all))
+
+        assign_all = jax.lax.stop_gradient(jax.vmap(jax.vmap(
+            auction_assignment, in_axes=(0, 0)), in_axes=(0, None))(
+            costs_all, targets.valid))
 
     xs = {
         "cls": classes, "box": boxes,

@@ -186,13 +186,13 @@ def auction_assignment(cost: jnp.ndarray, gt_valid: jnp.ndarray,
     return owner
 
 
-def hungarian_vl_match(
+def hungarian_vl_costs(
     prob: jnp.ndarray, pred_boxes: jnp.ndarray,
-    gt_boxes: jnp.ndarray, positive_map: jnp.ndarray, gt_valid: jnp.ndarray,
+    gt_boxes: jnp.ndarray, positive_map: jnp.ndarray,
     cost_class: float = 2.0, cost_bbox: float = 5.0, cost_giou: float = 2.0,
     mask_cost: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """HungarianMatcherVL costs + auction solve -> (Q,) gt idx or -1."""
+    """HungarianMatcherVL cost matrix (Q, N) (matcher.py:317+ costs only)."""
     c = cost_class * focal_token_cost(prob, positive_map)
     c = c + cost_bbox * jnp.sum(
         jnp.abs(pred_boxes[:, None, :] - gt_boxes[None, :, :]), axis=-1)
@@ -200,6 +200,18 @@ def hungarian_vl_match(
         box_cxcywh_to_xyxy(pred_boxes), box_cxcywh_to_xyxy(gt_boxes))
     if mask_cost is not None:
         c = c + mask_cost
+    return c
+
+
+def hungarian_vl_match(
+    prob: jnp.ndarray, pred_boxes: jnp.ndarray,
+    gt_boxes: jnp.ndarray, positive_map: jnp.ndarray, gt_valid: jnp.ndarray,
+    cost_class: float = 2.0, cost_bbox: float = 5.0, cost_giou: float = 2.0,
+    mask_cost: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """HungarianMatcherVL costs + auction solve -> (Q,) gt idx or -1."""
+    c = hungarian_vl_costs(prob, pred_boxes, gt_boxes, positive_map,
+                           cost_class, cost_bbox, cost_giou, mask_cost)
     return auction_assignment(c, gt_valid)
 
 

@@ -118,9 +118,12 @@ class HIPIEPredictor:
 
         key = (task, tuple(spec.class_names) if use_clip
                else len(spec.class_names), self.bucket, has_thing, n_bg_lang)
+        # hold the lock across check-and-build so concurrent AsyncPredictor
+        # workers can't both build (and later compile) the same program; the
+        # build itself is cheap (tracing/compilation happens at call time,
+        # where jax serializes per-program internally).
         with self._compile_lock:
-            populate = key not in self._jitted
-        if populate:
+          if key not in self._jitted:
             model, tcfg, mcfg = self.model, cfg.test, cfg.model
 
             @functools.partial(jax.jit, static_argnames=())
@@ -137,8 +140,7 @@ class HIPIEPredictor:
                                        clip_overlap=clip_overlap,
                                        images01=images01,
                                        n_bg_lang=n_bg_lang)
-            with self._compile_lock:
-                self._jitted[key] = fn
+            self._jitted[key] = fn
 
         res = self._jitted[key](
             self.params,

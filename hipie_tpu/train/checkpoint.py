@@ -20,14 +20,23 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
-def save_checkpoint(directory: str, state, step: int):
+def save_checkpoint(directory: str, state, step: int, name: str = "",
+                    update_marker: bool = True):
+    """Save under model_{step} (or `name`). orbax refuses to overwrite an
+    existing destination, so a pre-existing dir (periodic + best checkpoint
+    colliding, or re-saving model_best) is removed first."""
+    import shutil
+
     os.makedirs(directory, exist_ok=True)
-    path = os.path.join(directory, f"model_{step:07d}")
+    path = os.path.join(directory, name or f"model_{step:07d}")
+    if os.path.exists(path):
+        shutil.rmtree(path)
     _ckptr().save(os.path.abspath(path), {
         "params": state.params, "opt_state": state.opt_state,
         "step": np.asarray(step)})
-    with open(os.path.join(directory, "last_checkpoint"), "w") as f:
-        f.write(os.path.basename(path))
+    if update_marker:
+        with open(os.path.join(directory, "last_checkpoint"), "w") as f:
+            f.write(os.path.basename(path))
     return path
 
 

@@ -52,6 +52,16 @@ class Trainer:
             self.cfg.output_dir, self.state, weights, resume, cfg=self.cfg)
         if resumed:
             self.storage.iter = int(self.state.step)
+            # restore the BestCheckpointer watermark so a resumed run doesn't
+            # overwrite model_best with a worse post-resume eval.
+            import os
+            marker = os.path.join(self.cfg.output_dir, "best_checkpoint")
+            if os.path.exists(marker):
+                try:
+                    tail = open(marker).read().strip().rsplit("=", 1)[-1]
+                    self._best_metric = float(tail)
+                except (ValueError, OSError):
+                    pass
         return resumed
 
     def train(self, start_iter: Optional[int] = None,
@@ -97,16 +107,22 @@ class Trainer:
                                             for k, v in results.items()})
                 # BestCheckpointer (reference engine/hooks.py BestCheckpointer):
                 # track cfg.test.best_metric (default: first result key) and
-                # keep a model_best checkpoint alongside the periodic ones.
+                # keep a distinct `model_best` checkpoint (saving under the
+                # periodic model_{it} name would collide when checkpoint and
+                # eval periods align — orbax refuses to overwrite). The best
+                # value is persisted in `best_checkpoint` and restored on
+                # resume so a preempted run never regresses the pointer.
                 metric = getattr(self.cfg.test, "best_metric", "") or \
                     (sorted(results)[0] if results else "")
                 if metric in results:
                     val = float(results[metric])
                     if val > self._best_metric:
                         self._best_metric = val
-                        save_checkpoint(self.cfg.output_dir, self.state, it)
+                        save_checkpoint(self.cfg.output_dir, self.state, it,
+                                        name="model_best",
+                                        update_marker=False)
                         import os as _os
                         with open(_os.path.join(self.cfg.output_dir,
                                                 "best_checkpoint"), "w") as f:
-                            f.write(f"model_{it:07d} {metric}={val}\n")
+                            f.write(f"model_best iter={it} {metric}={val}\n")
         return self.state

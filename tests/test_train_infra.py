@@ -227,3 +227,25 @@ def test_shard_tokens_sequence_parallel():
         np.testing.assert_allclose(
             np.asarray(out["pred_logits"], np.float32),
             np.asarray(base["pred_logits"], np.float32), rtol=2e-2, atol=2e-2)
+
+
+def test_best_checkpointer_distinct_path(tmp_path):
+    """Best and periodic checkpoints must not collide: saving model_best at an
+    iteration that also writes model_{it} crashed orbax (code-review r2);
+    re-saving model_best on a later improvement must also succeed, and the
+    last_checkpoint marker must not point at model_best."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hipie_tpu.train.checkpoint import latest_checkpoint, save_checkpoint
+    from hipie_tpu.train.step import TrainState
+
+    state = TrainState(params={"w": jnp.ones((2, 2))}, opt_state=None, step=0)
+    d = str(tmp_path)
+    save_checkpoint(d, state, 100)
+    save_checkpoint(d, state, 100, name="model_best", update_marker=False)
+    # improvement at a later iter: overwrite model_best in place
+    save_checkpoint(d, state, 200, name="model_best", update_marker=False)
+    assert latest_checkpoint(d).endswith("model_0000100")
+    import os
+    assert os.path.isdir(os.path.join(d, "model_best"))

@@ -20,15 +20,13 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def load_params(path: str):
+def load_params(path: str, preset: str = "r50_coco_panoptic"):
     if path.endswith((".pth", ".pkl")):
-        import torch
-
+        from hipie_tpu import presets
+        from hipie_tpu.utils.converter import load_torch_checkpoint
         from hipie_tpu.utils.hipie_converter import convert_hipie_checkpoint
-        sd = torch.load(path, map_location="cpu", weights_only=False)
-        sd = sd.get("model", sd)
-        tree, _report = convert_hipie_checkpoint(sd)
-        return {"params": tree}
+        sd = load_torch_checkpoint(path)
+        return convert_hipie_checkpoint(sd, getattr(presets, preset)())
     import orbax.checkpoint as ocp
     restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
     return restored.get("params", restored)
@@ -50,10 +48,12 @@ def main():
     p.add_argument("ckpt_b")
     p.add_argument("--top", type=int, default=20)
     p.add_argument("--rtol", type=float, default=1e-5)
+    p.add_argument("--preset", default="r50_coco_panoptic",
+                   help="config preset used to map .pth checkpoints")
     args = p.parse_args()
 
-    fa = flatten(load_params(args.ckpt_a))
-    fb = flatten(load_params(args.ckpt_b))
+    fa = flatten(load_params(args.ckpt_a, args.preset))
+    fb = flatten(load_params(args.ckpt_b, args.preset))
     only_a = sorted(set(fa) - set(fb))
     only_b = sorted(set(fb) - set(fa))
     for k in only_a[:10]:

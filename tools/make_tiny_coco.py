@@ -135,6 +135,11 @@ def emit_ade_semseg(root: str):
 
     import cv2
     ann = _json.load(open(os.path.join(root, "coco/annotations/panoptic_val2017.json")))
+    # contiguous 0-based GT ids, matching load_coco_panoptic's sorted id_map
+    # (data/datasets.py): raw category ids (things 1..Nt, stuff 100+i) would
+    # disagree with every other tiny-coco consumer's label space.
+    cats = sorted(ann["categories"], key=lambda c: c["id"])
+    id_map = {c["id"]: i for i, c in enumerate(cats)}
     img_dir = os.path.join(root, "ade/ADEChallengeData2016/images/validation")
     gt_dir = os.path.join(root,
                           "ade/ADEChallengeData2016/annotations_detectron2/validation")
@@ -149,7 +154,7 @@ def emit_ade_semseg(root: str):
         pan = png[:, :, 0] + 256 * png[:, :, 1] + 65536 * png[:, :, 2]
         sem = np.full(pan.shape, 255, np.uint8)
         for seg in an["segments_info"]:
-            sem[pan == seg["id"]] = seg["category_id"] - 1
+            sem[pan == seg["id"]] = id_map[seg["category_id"]]
         cv2.imwrite(os.path.join(gt_dir,
                                  im["file_name"].replace(".jpg", ".png")), sem)
     print(f"emitted ADE-layout semseg val ({len(ann['images'])} images)")

@@ -68,23 +68,8 @@ def main():
     with jax.profiler.trace(outdir):
         force(fn(params, im2, pad, ids, am, sizes))
 
-    path = sorted(glob.glob(outdir + "/plugins/profile/*/*.trace.json.gz"))[-1]
-    d = json.load(gzip.open(path))
-    ev = d["traceEvents"]
-    pid = None
-    for e in ev:
-        if e.get("ph") == "M" and e.get("name") == "process_name" \
-                and "TPU" in str(e.get("args", {}).get("name", "")):
-            pid = e["pid"]
-    per_op = collections.Counter()
-    total = 0.0
-    for e in ev:
-        if e.get("ph") == "X" and e["pid"] == pid and e.get("tid") != 2:
-            per_op[e["name"]] += e["dur"]
-            total += e["dur"]
-    print(f"device total: {total / 1e3:.1f} ms over {len(per_op)} distinct ops")
-    for name, us in per_op.most_common(40):
-        print(f"{us / 1e3:10.2f} ms  {name[:110]}")
+    from tools.trace_common import print_top_device_ops
+    print_top_device_ops(outdir)
 
 
 if __name__ == "__main__":

@@ -160,6 +160,70 @@ def emit_ade_semseg(root: str):
     print(f"emitted ADE-layout semseg val ({len(ann['images'])} images)")
 
 
+def emit_refcoco(root: str):
+    """Emit a tiny RefCOCO-style split (annotations/refcoco-unc-val_instances
+    .json) from the val panoptic set: one referring expression per thing
+    instance ("the {kind} in the {region}"), RLE segmentation — the layout
+    tools/convert_refcoco.py produces and load_refcoco consumes. Exercises the
+    grounding eval path (oIoU / P@K) end-to-end on synthetic data."""
+    import json as _json
+
+    import cv2
+    sys_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    import sys
+    if sys_path not in sys.path:
+        sys.path.insert(0, sys_path)
+    from hipie_tpu.evaluation.rle import rle_encode
+
+    ann = _json.load(open(os.path.join(root,
+                                       "coco/annotations/panoptic_val2017.json")))
+    id2name = {c["id"]: c["name"] for c in ann["categories"]}
+    out_images, out_anns = [], []
+    aid = 1
+    for im, an in zip(ann["images"], ann["annotations"]):
+        png = cv2.imread(os.path.join(root, "coco/panoptic_val2017",
+                                      an["file_name"]))[:, :, ::-1].astype(np.int64)
+        pan = png[:, :, 0] + 256 * png[:, :, 1] + 65536 * png[:, :, 2]
+        h, w = pan.shape
+        # val images live in coco/val2017 but load_refcoco roots at train2017;
+        # reference refcoco-mixed also reads train2017 — mirror the files.
+        src_img = os.path.join(root, "coco/val2017", im["file_name"])
+        dst_img = os.path.join(root, "coco/train2017", "ref_" + im["file_name"])
+        if not os.path.exists(dst_img):
+            import shutil
+            shutil.copy(src_img, dst_img)
+        out_images.append({"id": 100000 + im["id"],
+                           "file_name": "ref_" + im["file_name"],
+                           "height": h, "width": w})
+        things = [s for s in an["segments_info"] if s["category_id"] < 100]
+        for s in things:
+            m = (pan == s["id"]).astype(np.uint8)
+            if m.sum() < 64:
+                continue
+            ys, xs = np.nonzero(m)
+            x0, y0 = int(xs.min()), int(ys.min())
+            bw, bh = int(xs.max() - x0 + 1), int(ys.max() - y0 + 1)
+            cx, cy = xs.mean() / w, ys.mean() / h
+            horiz = "left" if cx < 0.45 else ("right" if cx > 0.55 else "middle")
+            vert = "top" if cy < 0.45 else ("bottom" if cy > 0.55 else "middle")
+            kind = id2name[s["category_id"]]
+            expr = f"the {kind} at the {vert} {horiz}"
+            out_anns.append({
+                "id": aid, "image_id": 100000 + im["id"], "category_id": 1,
+                "bbox": [x0, y0, bw, bh], "area": int(m.sum()),
+                "iscrowd": 0, "expressions": [expr],
+                "segmentation": rle_encode(m),
+            })
+            aid += 1
+    os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
+    out = {"images": out_images, "annotations": out_anns,
+           "categories": [{"id": 1, "name": "object"}]}
+    with open(os.path.join(root, "annotations",
+                           "refcoco-unc-val_instances.json"), "w") as f:
+        _json.dump(out, f)
+    print(f"emitted tiny refcoco val: {len(out_anns)} expressions")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--root", default="/tmp/tiny_coco")
@@ -168,11 +232,15 @@ def main():
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--ade-semseg", action="store_true",
                    help="also emit the val split in ADE20k directory layout")
+    p.add_argument("--refcoco", action="store_true",
+                   help="also emit a tiny refcoco-style grounding split")
     args = p.parse_args()
     n = make_split(args.root, "train2017", args.n_train, args.size, seed=0)
     m = make_split(args.root, "val2017", args.n_val, args.size, seed=1)
     if args.ade_semseg:
         emit_ade_semseg(args.root)
+    if args.refcoco:
+        emit_refcoco(args.root)
     print(f"wrote {n} train + {m} val images under {args.root} "
           f"(set HIPIE_DATASETS={args.root})")
 

@@ -30,8 +30,11 @@ AREA_RNG = {
 def _evaluate_image(dets: List[dict], gts: List[dict], ious: np.ndarray,
                     area_rng, max_det: int):
     """Greedy matching for one (image, category); returns match arrays."""
+    # pycocotools area-range membership is inclusive on BOTH ends
+    # (ignore iff area < lo or area > hi): a 32x32 object (area 1024) belongs
+    # to both 'small' and 'medium'.
     gt_ignore = np.array(
-        [g.get("iscrowd", 0) or not (area_rng[0] <= g["area"] < area_rng[1])
+        [g.get("iscrowd", 0) or not (area_rng[0] <= g["area"] <= area_rng[1])
          for g in gts], bool)
     # sort gts: non-ignored first (stable)
     g_order = np.argsort(gt_ignore, kind="stable")
@@ -66,7 +69,7 @@ def _evaluate_image(dets: List[dict], gts: List[dict], ious: np.ndarray,
             dt_ig[t, di] = gt_ignore[best_j]
     # unmatched dets outside area range are ignored.
     d_area_ig = np.array(
-        [not (area_rng[0] <= d["area"] < area_rng[1]) for d in dets], bool)
+        [not (area_rng[0] <= d["area"] <= area_rng[1]) for d in dets], bool)
     dt_ig = dt_ig | ((dt_m == -1) & d_area_ig[None, :])
     return {
         "scores": np.array([d["score"] for d in dets]),
@@ -115,7 +118,11 @@ class COCOApEvaluator:
         recall = -np.ones((T, K, len(areas)))
         for ki, cat in enumerate(cats):
             per_img = []
-            for img in self._imgs:
+            # sorted image order matches pycocotools' sorted imgIds: the
+            # global mergesort below is stable, so tied-score detections
+            # interleave identically (and set-iteration order would vary
+            # with hash randomization for string ids).
+            for img in sorted(self._imgs):
                 dets = self._dets[img].get(cat, [])
                 gts = self._gts[img].get(cat, [])
                 if not dets and not gts:
@@ -126,11 +133,9 @@ class COCOApEvaluator:
                 rng = AREA_RNG[aname]
                 evs = [_evaluate_image(d, g, i, rng, self.max_det)
                        for d, g, i in per_img]
-                evs = [e for e in evs if e is not None]
                 if not evs:
                     continue
-                scores = np.concatenate([e["scores"] for e in evs]) \
-                    if evs else np.zeros(0)
+                scores = np.concatenate([e["scores"] for e in evs])
                 order = np.argsort(-scores, kind="mergesort")
                 matched = np.concatenate([e["dt_matched"] for e in evs], 1)[:, order]
                 ignored = np.concatenate([e["dt_ignore"] for e in evs], 1)[:, order]

@@ -37,6 +37,9 @@ class PanopticEvaluator:
         """maps: (H, W) int32 segment ids (0 = void); segments: [{id, category_id}]."""
         pred_cat = {s["id"]: s["category_id"] for s in pred_segments}
         gt_cat = {s["id"]: s["category_id"] for s in gt_segments}
+        # panopticapi crowd semantics: crowd GT segments never match and never
+        # count as FN; their area shields same-class predictions from FP.
+        gt_crowd = {s["id"] for s in gt_segments if s.get("iscrowd", 0)}
         # joint histogram of (gt_id, pred_id)
         joint = gt_map.astype(np.int64) * (2 ** 24) + pred_map.astype(np.int64)
         ids, counts = np.unique(joint, return_counts=True)
@@ -54,6 +57,8 @@ class PanopticEvaluator:
                 continue
             if gi not in gt_cat or pi not in pred_cat:
                 continue
+            if gi in gt_crowd:
+                continue
             if gt_cat[gi] != pred_cat[pi]:
                 continue
             union = (gt_area[gi] + pred_area[pi] - c
@@ -66,13 +71,19 @@ class PanopticEvaluator:
                 matched_gt.add(gi)
                 matched_pred.add(pi)
         for gi, cat in gt_cat.items():
+            if gi in gt_crowd:
+                continue
             if gi not in matched_gt and gt_area.get(gi, 0) > 0:
                 self.fn[cat] += 1
         for pi, cat in pred_cat.items():
             if pi in matched_pred or pred_area.get(pi, 0) == 0:
                 continue
-            # predictions mostly covered by void don't count as FP.
+            # predictions mostly covered by void (+ same-class crowd GT
+            # regions, panopticapi pq_compute_single_core) don't count as FP.
             void_overlap = inter.get((self.void, pi), 0)
+            void_overlap += sum(c for (gi2, pi2), c in inter.items()
+                                if pi2 == pi and gi2 in gt_crowd
+                                and gt_cat.get(gi2) == cat)
             if void_overlap / max(pred_area[pi], 1) > 0.5:
                 continue
             self.fp[cat] += 1

@@ -30,7 +30,6 @@ from hipie_tpu.models.postprocess import (
     panoptic_inference,
     semantic_inference,
     transform_probs,
-    upsample_mask_logits,
 )
 from hipie_tpu.models.text.bert import BertModel, parallel_det_block_mask
 
@@ -199,7 +198,8 @@ def hipie_inference(
         sem = semantic_inference(prob, all_masks)
         p = panoptic_inference(prob, all_masks, maps.is_thing,
                                test_cfg.panoptic_object_mask_thresh,
-                               test_cfg.panoptic_overlap_thresh)
+                               test_cfg.panoptic_overlap_thresh,
+                               pad_mask=pad_mask_s4)
         pano = p.panoptic_seg
         seg_valid, seg_cls, seg_isthing = (p.segment_valid, p.segment_classes,
                                            p.segment_isthing)

@@ -52,12 +52,18 @@ def grounding_to_od_logits(
         # (reference positive_map_label_to_token = {1: [0]}, hipie_img.py:323).
         return logits
 
+    has_tokens = jnp.any(maps.token_mask, axis=-1)          # (C,)
     if max_pool:
         masked = jnp.where(maps.token_mask[None], logits[:, None, :],
                            jnp.finfo(jnp.float32).min)
         scores = jnp.max(masked, axis=-1)
     else:
         scores = logits @ maps.mean_weights.T
+        # classes whose prompt tokens fell past max_text_len truncation have
+        # all-zero weight rows; a zero dot product would score sigmoid(0)=0.5
+        # and outrank real classes — the reference fills such classes with
+        # -9999 (convert_grounding_to_od_logits, hipie_img.py:1025).
+        scores = jnp.where(has_tokens[None], scores, NEG_INF)
     if mode == "FG":
         scores = jnp.where(maps.is_thing[None], scores, NEG_INF)
     elif mode == "BG":
@@ -141,6 +147,7 @@ def panoptic_inference(
     is_thing: jnp.ndarray,        # (C,) bool
     object_mask_threshold: float = 0.25,
     overlap_threshold: float = 0.8,
+    pad_mask: Optional[jnp.ndarray] = None,   # (h, w) True = padded canvas
 ) -> PanopticOutput:
     """Vectorized version of reference panoptic_inference (hipie_img.py:473-536)."""
     n = mask_cls_prob.shape[0]
@@ -155,6 +162,11 @@ def panoptic_inference(
     binary = probs >= 0.5
 
     one_hot = jax.nn.one_hot(mask_ids, n, dtype=f32, axis=0)       # (N, h, w)
+    if pad_mask is not None:
+        # padded-canvas pixels all tie at prob 0 and argmax awards them to the
+        # first kept query, inflating its mask_area and corrupting the overlap
+        # test (the reference operates on the unpadded image).
+        one_hot = jnp.where(pad_mask[None], 0.0, one_hot)
     mask_area = jnp.sum(one_hot, axis=(1, 2))
     original_area = jnp.sum(binary.astype(f32), axis=(1, 2))
     final_area = jnp.sum(one_hot * binary.astype(f32), axis=(1, 2))
@@ -199,8 +211,4 @@ def transform_probs(cls_logits: jnp.ndarray, temperature: float = 0.06,
     return p
 
 
-def upsample_mask_logits(mask_logits: jnp.ndarray, factor: int) -> jnp.ndarray:
-    """Bilinear (align_corners=False) upsample of (N, h, w) logits, as the
-    reference's F.interpolate at hipie_img.py:693,734."""
-    n, h, w = mask_logits.shape
-    return jax.image.resize(mask_logits, (n, h * factor, w * factor), "bilinear")
+

@@ -62,6 +62,9 @@ class TransformerConfig:
     num_encoder_layers: int = 6
     num_decoder_layers: int = 6
     dim_feedforward: int = 1024
+    # NOTE: dropout is validated-unsupported (the shipped HIPIE recipes all set
+    # DROPOUT 0.0, r50.yaml:42); a nonzero value raises at model build instead
+    # of being silently ignored.
     dropout: float = 0.0
     num_feature_levels: int = 4
     enc_n_points: int = 4
@@ -163,6 +166,13 @@ class LossConfig:
     aux_loss: bool = True
     matcher: str = "hungarian"        # hungarian | ota
     ota_topk: int = 10
+    # criterion-pass merge weights (reference FINAL_FG/BG/GT_WEIGHT,
+    # config.py:149-152; r50.yaml sets BG to 0.0 "# DROPPED" and GT to 1.0).
+    # A zero-weight pass is SKIPPED entirely (the reference computes it and
+    # multiplies by 0 — wasted compute and a NaN hazard).
+    final_fg_weight: float = 1.0
+    final_bg_weight: float = 0.0
+    final_gt_weight: float = 1.0
 
 
 @dataclass(frozen=True)

@@ -47,6 +47,11 @@ class HIPIEDetector(nn.Module):
     cfg: ModelConfig
 
     def setup(self):
+        if self.cfg.transformer.dropout != 0.0:
+            raise NotImplementedError(
+                "transformer.dropout is not implemented (all shipped HIPIE "
+                "recipes set DROPOUT 0.0, reference r50.yaml:42); refusing to "
+                "silently ignore a nonzero setting")
         c = self.cfg
         dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
         self.compute_dtype = dtype
@@ -64,6 +69,8 @@ class HIPIEDetector(nn.Module):
         self.transformer = VLDeformableTransformer(
             cfg=tc, lang_dim=c.text.hidden_size,
             still_cls_for_encoder=c.still_cls_for_encoder, dtype=dtype,
+            text_heads=c.text.num_heads,
+            text_intermediate=c.text.intermediate_size,
             name="transformer")
         self.class_embeds = [
             VLAlign(c.text.hidden_size, tc.d_model, dtype=dtype, name=f"class_embed_{i}")
@@ -147,7 +154,13 @@ class HIPIEDetector(nn.Module):
         train: bool = False,
     ) -> Dict[str, Any]:
         c = self.cfg
-        features = self.backbone(images)
+        # stochastic depth (DropPath) must be ACTIVE in training for
+        # ViT/Swin/ConvNeXt (reference trains ViT-H with drop_path 0.5);
+        # ResNet has no deterministic knob.
+        if c.backbone.name.startswith("resnet"):
+            features = self.backbone(images)
+        else:
+            features = self.backbone(images, deterministic=not train)
         srcs, masks, poses = self._project_levels(features, pad_mask)
 
         dn_tgt = None

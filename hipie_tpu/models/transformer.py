@@ -153,6 +153,8 @@ class _EncoderScanBody(nn.Module):
     lang_dim: int
     spatial_shapes: Shapes
     dtype: Any = jnp.float32
+    text_heads: int = 12
+    text_intermediate: int = 3072
 
     @nn.compact
     def __call__(self, carry, pos_flat, enc_ref, mask_flat, lang_masks):
@@ -169,7 +171,8 @@ class _EncoderScanBody(nn.Module):
         if c.use_extra_bert_layers:
             neg = jnp.float32(-1e9)
             bias = jnp.where(lang_masks[:, None, None, :] > 0, 0.0, neg)
-            l_hidden = BertLayer(self.lang_dim, 12, 3072, dtype=self.dtype,
+            l_hidden = BertLayer(self.lang_dim, self.text_heads,
+                                 self.text_intermediate, dtype=self.dtype,
                                  name="lang_layer")(l_hidden, bias)
         return (memory, l_hidden), None
 
@@ -181,6 +184,8 @@ class VLDeformableTransformer(nn.Module):
     lang_dim: int = 768
     still_cls_for_encoder: bool = False
     dtype: Any = jnp.float32
+    text_heads: int = 12          # geometry of the optional in-encoder BERT
+    text_intermediate: int = 3072  # layer (use_extra_bert_layers)
 
     @nn.compact
     def __call__(
@@ -237,6 +242,8 @@ class VLDeformableTransformer(nn.Module):
                        length=c.num_encoder_layers)
         (memory, l_hidden), _ = scan(
             c, self.lang_dim, spatial_shapes, dtype=self.dtype,
+            text_heads=self.text_heads,
+            text_intermediate=self.text_intermediate,
             name="encoder")((src_flat, lang_hidden.astype(self.dtype)),
                             pos_flat, enc_ref, mask_flat, lang_masks)
 
@@ -250,10 +257,13 @@ class VLDeformableTransformer(nn.Module):
         # (reference prepare_bg_queries_lan, hipie_img.py:1014-1024, which uses
         # detr.resizer on language_dict_features['hidden'][0]).
         if bg_lang_weights is not None and bg_queries_lang is None:
+            # per IMAGE: each batch element's own raw BERT tokens (prompts can
+            # differ across the batch; the reference runs batch 1 so its [0]
+            # indexing is per-image by construction).
             q_lang = jnp.einsum(
-                "kl,ld->kd", bg_lang_weights.astype(jnp.float32),
-                lang_hidden[0].astype(jnp.float32))
-            bg_queries_lang = resizer(q_lang.astype(self.dtype))
+                "kl,bld->bkd", bg_lang_weights.astype(jnp.float32),
+                lang_hidden.astype(jnp.float32))
+            bg_queries_lang = resizer(q_lang.astype(self.dtype))   # (B, K, C)
 
         # ---- two-stage proposal generation -------------------------------------
         grid_props = []
@@ -313,10 +323,13 @@ class VLDeformableTransformer(nn.Module):
                 [jnp.broadcast_to(bg_refs[None].astype(jnp.float32),
                                   (b, c.num_bg_queries, 4)), refs], axis=1)
         if bg_queries_lang is not None:
-            k = bg_queries_lang.shape[0]
+            if bg_queries_lang.ndim == 2:          # precomputed (K, C)
+                bg_queries_lang = jnp.broadcast_to(
+                    bg_queries_lang[None],
+                    (b,) + bg_queries_lang.shape)
+            k = bg_queries_lang.shape[1]
             tgt = jnp.concatenate(
-                [jnp.broadcast_to(bg_queries_lang[None].astype(self.dtype),
-                                  (b, k, c.d_model)), tgt], axis=1)
+                [bg_queries_lang.astype(self.dtype), tgt], axis=1)
             refs = jnp.concatenate([jnp.zeros((b, k, 4), jnp.float32), refs], axis=1)
         if dn_tgt is not None:
             tgt = jnp.concatenate([dn_tgt.astype(self.dtype), tgt], axis=1)

@@ -93,6 +93,7 @@ def make_loss_fn(model, cfg: HIPIEConfig, task: str = "detection"):
         out = model.apply(
             params, batch.images, batch.pad_mask, batch.input_ids,
             batch.lang_mask, batch.image_sizes, task=task, train=True,
+            rngs={"dropout": jax.random.fold_in(rng, 7)},
             **dn_kwargs)
 
         pad = cdn.pad_size if cdn is not None else 0
@@ -119,27 +120,38 @@ def make_loss_fn(model, cfg: HIPIEConfig, task: str = "detection"):
         fg_targets = t._replace(valid=t.valid & t.is_thing)
         bg_targets = t._replace(valid=t.valid & ~t.is_thing)
 
-        losses_fg = criterion_pass(
-            k_fg, slice_layers(start_fg, None, True), fg_targets,
-            matcher="ota" if lc.matcher == "ota" else "hungarian", **common)
-        losses_bg = criterion_pass(
-            k_bg, slice_layers(start_bg, start_fg, False), bg_targets,
-            matcher="hungarian", **common)
-        passes = [losses_fg, losses_bg]
-        weights = [1.0, 0.0]
-        if cdn is not None:
+        passes, weights = [], []
+        if lc.final_fg_weight != 0.0:
+            passes.append(criterion_pass(
+                k_fg, slice_layers(start_fg, None, True), fg_targets,
+                matcher="ota" if lc.matcher == "ota" else "hungarian",
+                **common))
+            weights.append(lc.final_fg_weight)
+        if lc.final_bg_weight != 0.0:
+            passes.append(criterion_pass(
+                k_bg, slice_layers(start_bg, start_fg, False), bg_targets,
+                matcher="hungarian", **common))
+            weights.append(lc.final_bg_weight)
+        # encoder-proposal loss: the top-k selection feeding the decoder is
+        # stop_gradient-ed, so without this pass the two-stage heads would get
+        # ZERO gradient (reference attaches enc_outputs to the gt pass,
+        # ddetrs_dn.py :700-704 — weighted like it, but computed regardless of
+        # whether CDN is enabled).
+        enc_losses = encoder_loss_pass(
+            out["enc_outputs_class"],
+            jax.nn.sigmoid(out["enc_outputs_coord_unact"]),
+            t, batch.lang_mask, lc,
+            still_cls=mc.still_cls_for_encoder)
+        if cdn is not None and lc.final_gt_weight != 0.0:
             losses_gt = criterion_pass(
                 k_gt, slice_layers(0, pad, False), t,
                 matcher="fixed", fixed_assign=cdn.gt_assign, **common)
-            # encoder-proposal loss rides the gt pass (reference post_processing
-            # attaches enc_outputs only to out_gt, ddetrs_dn.py :700-704).
-            losses_gt.update(encoder_loss_pass(
-                out["enc_outputs_class"],
-                jax.nn.sigmoid(out["enc_outputs_coord_unact"]),
-                t, batch.lang_mask, lc,
-                still_cls=mc.still_cls_for_encoder))
+            losses_gt.update(enc_losses)
             passes.append(losses_gt)
-            weights.append(1.0)
+            weights.append(lc.final_gt_weight)
+        else:
+            passes.append(enc_losses)
+            weights.append(lc.final_gt_weight or 1.0)
         merged = merge_loss_dicts(passes, weights)
         total = apply_weight_dict(merged, lc)
 

@@ -249,3 +249,36 @@ def test_best_checkpointer_distinct_path(tmp_path):
     assert latest_checkpoint(d).endswith("model_0000100")
     import os
     assert os.path.isdir(os.path.join(d, "model_best"))
+
+
+def test_cdn_dynamic_groups():
+    """CDN must derive its group count from the batch's ACTUAL max GT count,
+    not the static padding (reference prepare_for_cdn: an image with 3 objects
+    and dn_number=20 gets 2*20//(2*3)=6 groups = 36 active dn queries, not
+    one group of 2*3)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hipie_tpu.models.dn import prepare_cdn
+
+    b, n_pad = 2, 50
+    labels = jnp.zeros((b, n_pad), jnp.int32)
+    boxes = jnp.full((b, n_pad, 4), 0.5)
+    valid = jnp.asarray(np.arange(n_pad)[None] < np.array([[3], [2]]))
+    cdn = prepare_cdn(jax.random.PRNGKey(0), labels, boxes, valid,
+                      num_classes=5, num_matching_queries=10, dn_number=20)
+    assert cdn.pad_size == 40                      # static budget 2*dn_number
+    # m=3 -> 6 groups x 2 sections x 3 slots = 36 active layout slots;
+    # image 0 (3 valid GTs) activates all 36, image 1 (2 valid) 24 of them.
+    n_act = np.asarray(cdn.slot_valid).sum(axis=1)
+    assert n_act[0] == 36 and n_act[1] == 24, n_act
+    # every active slot supervises the gt it was built from
+    ga = np.asarray(cdn.gt_assign)
+    assert set(ga[0][ga[0] >= 0]) == {0, 1, 2}
+    assert set(ga[1][ga[1] >= 0]) == {0, 1}
+    # groups only attend within themselves
+    mask = np.asarray(cdn.attn_mask)
+    assert mask[0, 6]      # slot 0 (group 0) cannot see slot 6 (group 1)
+    assert not mask[0, 5]  # ... but sees its own group's slots
+    assert mask[40, 0]     # matching queries never see dn

@@ -132,14 +132,19 @@ class TrainLoader:
         self._started = False
 
     def _make_batch(self, it):
-        d, i = next(it)
-        outs = [self.mapper(materialize_record(self.datasets[d][i]),
-                            bucket=self.bucket)]
-        while len(outs) < self.batch_sizes[d]:
-            _, j = next(it)
-            outs.append(self.mapper(materialize_record(self.datasets[d][j]),
-                                    bucket=self.bucket))
-        return collate_train(outs)
+        """Per-dataset buffers, reference MDAspectRatioGroupedDataset
+        (:268-307): consume (dataset, index) pairs from the sampler — each
+        index was drawn for ITS dataset, honoring size/RFS weights — and emit
+        as soon as one dataset's buffer reaches its batch size. Batches stay
+        dataset-homogeneous."""
+        while True:
+            d, i = next(it)
+            buf = self._buffers.setdefault(d, [])
+            buf.append(self.mapper(materialize_record(self.datasets[d][i]),
+                                   bucket=self.bucket))
+            if len(buf) >= self.batch_sizes[d]:
+                self._buffers[d] = []
+                return d, collate_train(buf)
 
     def _worker(self):
         it = iter(self.sampler)

@@ -64,7 +64,11 @@ def prepare_cdn(
     static, the layout adapts per batch.
     """
     b, n = labels.shape
-    pad = 2 * dn_number                              # static slot budget
+    # Static slot budget. 2*dn_number matches the reference's active-query
+    # count when m <= dn_number; if the static max-GT padding n exceeds
+    # dn_number, a single group still needs 2*m slots (m can reach n), so
+    # widen the budget to keep every section fully laid out (advisor r1).
+    pad = 2 * max(dn_number, n)
     k_label, k_box_sign, k_box_mag, k_flip = jax.random.split(rng, 4)
 
     counts = valid.sum(-1)

@@ -51,21 +51,12 @@ Shapes = Tuple[Tuple[int, int], ...]
 
 
 def _ambient_mesh():
-    """The mesh in scope, whether set via `with mesh:` (legacy thread-local)
-    or `jax.sharding.use_mesh` (abstract mesh). None if neither."""
-    try:
-        m = jax.sharding.get_abstract_mesh()
-        if m is not None and getattr(m, "axis_names", ()):
-            return m
-    except Exception:
-        pass
-    try:
-        from jax.interpreters import pxla
-        m = pxla.thread_resources.env.physical_mesh
-        if m is not None and not m.empty:
-            return m
-    except Exception:
-        pass
+    """The mesh in scope, set via `jax.set_mesh(mesh)` (the supported
+    context API; the legacy `with mesh:` thread-local is deprecated and NOT
+    consulted — entry points use set_mesh). None if no mesh is set."""
+    m = jax.sharding.get_abstract_mesh()
+    if m is not None and getattr(m, "axis_names", ()):
+        return m
     return None
 
 

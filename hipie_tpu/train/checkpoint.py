@@ -22,18 +22,29 @@ def _ckptr():
 
 def save_checkpoint(directory: str, state, step: int, name: str = "",
                     update_marker: bool = True):
-    """Save under model_{step} (or `name`). orbax refuses to overwrite an
-    existing destination, so a pre-existing dir (periodic + best checkpoint
-    colliding, or re-saving model_best) is removed first."""
+    """Save under model_{step} (or `name`). Writes to a temporary sibling and
+    atomically renames over any existing destination, so a crash or preemption
+    mid-save never destroys the previous checkpoint (notably model_best, which
+    is re-saved under the same name)."""
     import shutil
 
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, name or f"model_{step:07d}")
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    _ckptr().save(os.path.abspath(path), {
+    tmp = f"{path}.tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    _ckptr().save(os.path.abspath(tmp), {
         "params": state.params, "opt_state": state.opt_state,
         "step": np.asarray(step)})
+    if os.path.exists(path):
+        old = f"{path}.old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, path)
     if update_marker:
         with open(os.path.join(directory, "last_checkpoint"), "w") as f:
             f.write(os.path.basename(path))

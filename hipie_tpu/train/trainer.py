@@ -125,4 +125,13 @@ class Trainer:
                         with open(_os.path.join(self.cfg.output_dir,
                                                 "best_checkpoint"), "w") as f:
                             f.write(f"model_best iter={it} {metric}={val}\n")
+        # Flush the final pending step's metrics (they are logged one step
+        # late by design — async device fetch) plus any scalars put at
+        # non-log-period iters (e.g. a final eval), so a max_iter run does
+        # not lose its last window.
+        if pending_metrics is not None:
+            self.storage.put_scalars(
+                **{k: float(v) for k, v in pending_metrics.items()})
+            self.storage.log_console(max_iter, lr=float(lr_fn(it)))
+        self.storage.write_json()
         return self.state

@@ -296,9 +296,9 @@ def export_hipie_checkpoint(params: Dict[str, Any], cfg) -> SD:
             if f"input_proj_{i}" in pd:
                 p = f"{pix}.input_proj.{i}"
                 inv_conv_gn(pd[f"input_proj_{i}"], f"{p}.0", f"{p}.1", sd)
-        for i in range(mdc.enc_layers):
-            if f"enc_layers_{i}" in pd:
-                inv_enc_layer(pd[f"enc_layers_{i}"],
+        if "enc_layers" in pd:            # scanned stack (absent in shared-encoder mode)
+            for i, step in enumerate(unstack_trees(pd["enc_layers"])):
+                inv_enc_layer(step["layer"],
                               f"{pix}.transformer.encoder.layers.{i}", sd)
         if "adapter_1" in pd:
             inv_conv_gn(pd["adapter_1"], f"{pix}.adapter_1",

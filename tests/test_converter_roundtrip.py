@@ -75,6 +75,34 @@ def test_roundtrip_full_tree(tiny_params):
             np.asarray(v), np.asarray(flat_params[k]), err_msg=k)
 
 
+def test_roundtrip_nonshared_pixel_decoder():
+    """shared_encoder=False adds the MaskDINO pixel-decoder deformable encoder
+    (scanned 'enc_layers' stack) — its export path regressed once (advisor r1
+    medium finding): keep the full round-trip exercised for this mode too."""
+    import jax.numpy as jnp
+    from hipie_tpu.config import apply_overrides
+    cfg = apply_overrides(tiny_test_config(),
+                          {"model.maskdino.shared_encoder": False})
+    model = HIPIEModel(cfg.model)
+    b, H, W, L = 1, 64, 64, 16
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(5), jnp.zeros((b, H, W, 3)),
+        jnp.zeros((b, H, W), bool), jnp.arange(L)[None].astype(jnp.int32) % 16,
+        jnp.ones((b, L), jnp.int32), jnp.array([[H, W]]))
+    sd = export_hipie_checkpoint(jax.device_get(params)["params"], cfg)
+    assert any("pixel_decoder.transformer.encoder" in k for k in sd), \
+        "pixel-decoder encoder weights missing from export"
+    converted = convert_hipie_checkpoint(sd, cfg)
+    rep = coverage_report(sd, converted, params)
+    assert not rep["shape_mismatches"], rep["shape_mismatches"][:10]
+    assert not rep["missing_in_converted"], rep["missing_in_converted"][:15]
+    flat_conv = _flat(converted)
+    flat_params = _flat(jax.device_get(params))
+    for k, v in flat_conv.items():
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(flat_params[k]), err_msg=k)
+
+
 def test_roundtrip_is_exact_twice(tiny_params):
     """export(convert(export(p))) == export(p): transforms are involutive."""
     cfg, params = tiny_params

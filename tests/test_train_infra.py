@@ -222,7 +222,7 @@ def test_shard_tokens_sequence_parallel():
 
     model_sp = HIPIEModel(cfg_sp.model)
     mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("data", "model"))
-    with mesh:
+    with jax.set_mesh(mesh):
         out = jax.jit(model_sp.apply)(params, *args)
         np.testing.assert_allclose(
             np.asarray(out["pred_logits"], np.float32),
@@ -268,7 +268,9 @@ def test_cdn_dynamic_groups():
     valid = jnp.asarray(np.arange(n_pad)[None] < np.array([[3], [2]]))
     cdn = prepare_cdn(jax.random.PRNGKey(0), labels, boxes, valid,
                       num_classes=5, num_matching_queries=10, dn_number=20)
-    assert cdn.pad_size == 40                      # static budget 2*dn_number
+    # static budget 2*max(dn_number, N_pad): widened so a batch whose actual
+    # max GT count exceeds dn_number still lays out full sections (advisor r1)
+    assert cdn.pad_size == 100
     # m=3 -> 6 groups x 2 sections x 3 slots = 36 active layout slots;
     # image 0 (3 valid GTs) activates all 36, image 1 (2 valid) 24 of them.
     n_act = np.asarray(cdn.slot_valid).sum(axis=1)
@@ -281,4 +283,28 @@ def test_cdn_dynamic_groups():
     mask = np.asarray(cdn.attn_mask)
     assert mask[0, 6]      # slot 0 (group 0) cannot see slot 6 (group 1)
     assert not mask[0, 5]  # ... but sees its own group's slots
-    assert mask[40, 0]     # matching queries never see dn
+    assert mask[cdn.pad_size, 0]   # matching queries never see dn
+
+
+def test_cdn_max_gt_exceeds_dn_number():
+    """m > dn_number: a single group still needs 2*m slots — the pos AND neg
+    section of every GT must be laid out (advisor r1: the old 2*dn_number
+    budget silently truncated the negative section)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hipie_tpu.models.dn import prepare_cdn
+
+    b, n_pad, m = 1, 12, 9
+    labels = jnp.zeros((b, n_pad), jnp.int32)
+    boxes = jnp.full((b, n_pad, 4), 0.5)
+    valid = jnp.asarray(np.arange(n_pad)[None] < m)
+    cdn = prepare_cdn(jax.random.PRNGKey(0), labels, boxes, valid,
+                      num_classes=5, num_matching_queries=10, dn_number=4)
+    assert cdn.pad_size == 2 * n_pad
+    # one group, two sections of width m: 2*m active slots, every GT twice
+    assert int(np.asarray(cdn.slot_valid).sum()) == 2 * m
+    ga = np.asarray(cdn.gt_assign)[0]
+    counts = np.bincount(ga[ga >= 0], minlength=m)
+    assert (counts[:m] == 2).all(), counts

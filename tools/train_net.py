@@ -76,7 +76,7 @@ def main():
     loader = TrainLoader(cfg.data, mapper, per_host, seed=cfg.seed,
                          shard_rank=jax.process_index(), num_shards=n_proc)
 
-    with mesh:
+    with jax.set_mesh(mesh):
         from hipie_tpu.parallel.mesh import batch_sharding
         bsh = batch_sharding(mesh)
         first = TrainBatch(**next(iter(loader)))

@@ -220,6 +220,8 @@ class TestConfig:
     pano_temperature: float = 0.06              # MODEL.PANO_TEMPERATURE
     test_size: Tuple[int, int] = (800, 1216)    # static padded eval bucket (H, W)
     eval_period: int = 5000                     # TEST.EVAL_PERIOD (EvalHook)
+    eval_max_images: int = 0                    # cap images per in-training eval (0 = all)
+    best_metric: str = ""                       # BestCheckpointer metric key ("" = first)
 
 
 @dataclass(frozen=True)

@@ -102,7 +102,10 @@ def collate_train(outs: List[MapperOutput]) -> Dict[str, np.ndarray]:
 
 
 class TrainLoader:
-    """Ratio-sampled, dataset-homogeneous, bucket-padded infinite batches."""
+    """Ratio-sampled, dataset-homogeneous, bucket-padded infinite batches.
+
+    Yields (task, batch_dict) pairs; `task` is the emitting dataset's task
+    ("detection"/"grounding"/...), constant within a batch by construction."""
 
     def __init__(self, cfg: DataConfig, mapper: HIPIEMapper,
                  batch_size: int, seed: int = 0,
@@ -112,6 +115,13 @@ class TrainLoader:
         self.mapper = mapper
         self.batch_size = batch_size
         self.datasets = [get_dataset(n) for n in cfg.train_datasets]
+        # per-dataset task (reference train_net.py:110-164 routes the loss/
+        # forward task by dataset; batches are dataset-homogeneous so every
+        # batch has exactly one task). Records carry "task"; default detection.
+        self.tasks = [
+            (ds[0].get("task", "detection") if len(ds) else "detection")
+            for ds in self.datasets]
+        self._buffers: Dict[int, List[MapperOutput]] = {}
         rfs_flags = cfg.dataset_use_rfs or (False,) * len(self.datasets)
         repeat = [rfs_repeat_factors(ds, cfg.rfs_repeat_threshold)
                   if use else None
@@ -144,7 +154,7 @@ class TrainLoader:
                                    bucket=self.bucket))
             if len(buf) >= self.batch_sizes[d]:
                 self._buffers[d] = []
-                return d, collate_train(buf)
+                return self.tasks[d], collate_train(buf)
 
     def _worker(self):
         it = iter(self.sampler)

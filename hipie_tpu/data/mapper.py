@@ -153,7 +153,12 @@ class HIPIEMapper:
             if flipped and expression:
                 expression = flip_expression(expression)
             spec = grounding_prompt_spec(expression or "", self.tok, L)
-            inst_pm = np.tile(spec.mean_weights[0], (len(labels), 1))
+            # grounding class logits span ONE pooled-language channel
+            # (reference coco_dataset_mapper.py:234 positive_map =
+            # ones((1, 1))): positive weight lives in column 0; the criterion
+            # slices the padded map to the logits' channel count.
+            inst_pm = np.zeros((len(labels), L), np.float32)
+            inst_pm[:, 0] = 1.0
             new_labels = np.zeros(len(labels), np.int64)
         elif self.is_train:
             spec, inst_pm, new_labels, keep = detection_to_grounding(

@@ -236,3 +236,48 @@ def instance_results_to_coco_json(predictions, records,
                 "score": float(preds["scores"][i]),
             })
     return out
+
+
+def make_inline_eval_fn(cfg, model, tokenizer):
+    """EvalHook-style closure for Trainer.eval_fn (reference
+    engine/defaults.py:461 EvalHook + hooks.py BestCheckpointer feed).
+
+    Returns fn(params) -> {metric: float}. One HIPIEPredictor is built lazily
+    and reused across calls (params are jit arguments, so swapping
+    predictor.params keeps the compiled programs); the dataset is
+    cfg.data.test_dataset, capped at cfg.test.eval_max_images.
+    """
+    from hipie_tpu.data.datasets import DATASET_METADATA, get_dataset
+    from hipie_tpu.predictor import HIPIEPredictor
+
+    state: Dict[str, Any] = {}
+
+    def eval_fn(params) -> Dict[str, float]:
+        if "predictor" not in state:
+            state["predictor"] = HIPIEPredictor(
+                cfg, params, tokenizer, bucket=tuple(cfg.test.test_size))
+            state["records"] = get_dataset(cfg.data.test_dataset)
+        pred = state["predictor"]
+        pred.params = params
+        records = state["records"]
+        max_images = cfg.test.eval_max_images or None
+        name = cfg.data.test_dataset
+        metadata = DATASET_METADATA.get(name, {})
+        ev_type = metadata.get("evaluator_type", "coco")
+        if "refcoco" in name:
+            results = evaluate_refcoco_dataset(pred, records, max_images)
+        elif ev_type == "sem_seg":
+            results = evaluate_semseg_dataset(pred, records, metadata,
+                                              max_images)
+        else:
+            meta = records[0]
+            tasks = ["bbox", "segm"]
+            if ev_type == "panoptic":
+                tasks.append("panoptic")
+            results = evaluate_detection_dataset(
+                pred, records, len(meta["class_names"]),
+                meta["class_is_thing"], tasks=tasks, max_images=max_images)
+        return {k: float(v) for k, v in results.items()
+                if isinstance(v, (int, float))}
+
+    return eval_fn

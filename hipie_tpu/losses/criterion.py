@@ -204,6 +204,16 @@ def criterion_pass(
     it is lax.scan'ed over the stacked layer axis — the body compiles once
     regardless of decoder depth."""
     classes = layer_outputs["classes"]
+    # class logits may span fewer token channels than the padded text length:
+    # grounding pools the language feature to ONE channel (reference
+    # hipie_img.py:431, positive_map (1, 1)) — slice the padded positive map
+    # and text mask down to the logits' channel count.
+    t_cls = classes.shape[-1]
+    if targets.positive_map.shape[-1] != t_cls:
+        targets = targets._replace(
+            positive_map=targets.positive_map[..., :t_cls])
+        if text_mask is not None:
+            text_mask = text_mask[..., :t_cls]
     boxes = layer_outputs["boxes"]
     ious = layer_outputs.get("ious")
     ctrl = layer_outputs.get("ctrl")

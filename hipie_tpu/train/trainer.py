@@ -79,6 +79,12 @@ class Trainer:
             self.profiler.maybe_start(it)
             t_data = time.time()
             batch = next(data_iter)
+            # TrainLoader yields (task, batch_dict); bare batches (tests,
+            # custom iterators) default to the single configured step.
+            task = None
+            if isinstance(batch, tuple) and len(batch) == 2 \
+                    and isinstance(batch[0], str):
+                task, batch = batch
             if isinstance(batch, dict):
                 batch = TrainBatch(**batch)
             if self.batch_sharding is not None:
@@ -86,7 +92,11 @@ class Trainer:
             data_time = time.time() - t_data
 
             rng, key = jax.random.split(rng)
-            self.state, metrics = self.train_step(self.state, batch, key)
+            if isinstance(self.train_step, dict):
+                step_fn = self.train_step[task or "detection"]
+            else:
+                step_fn = self.train_step
+            self.state, metrics = step_fn(self.state, batch, key)
             self.storage.tick()
             it += 1
             self.storage.put_scalars(data_time=data_time)

@@ -188,6 +188,47 @@ def test_per_dataset_batch_sizes():
     it = iter(loader.sampler)
     sizes = set()
     for _ in range(6):
-        batch = loader._make_batch(it)
+        _, batch = loader._make_batch(it)
         sizes.add(batch["images"].shape[0])
     assert sizes <= {3, 1} and len(sizes) == 2
+
+
+def test_multi_dataset_unequal_sizes_and_tasks():
+    """Two datasets of UNEQUAL sizes: every drawn index must belong to the
+    dataset it was drawn for (the round-1 loader reused an index drawn for a
+    different dataset -> IndexError / silent skew), and each batch carries
+    its emitting dataset's task."""
+    from hipie_tpu.config import DataConfig
+    from hipie_tpu.data.loader import TrainLoader
+    from hipie_tpu.data.mapper import HIPIEMapper
+    import hipie_tpu.data.datasets as D
+
+    rng = np.random.RandomState(1)
+
+    def mkrec(i, task):
+        r = {"image": (rng.rand(32, 32, 3) * 255).astype(np.uint8),
+             "annotations": [], "class_names": ["person"],
+             "class_is_thing": [True], "task": task, "_id": i}
+        if task == "grounding":
+            r["expressions"] = ["the person"]
+        return r
+
+    # small dataset first: the buggy cross-indexing raised IndexError when a
+    # large-dataset index hit the small dataset
+    D.register_dataset("_test_uneq_small",
+                       lambda: [mkrec(i, "detection") for i in range(3)])
+    D.register_dataset("_test_uneq_big",
+                       lambda: [mkrec(i, "grounding") for i in range(37)])
+    cfg = DataConfig(train_datasets=("_test_uneq_small", "_test_uneq_big"),
+                     dataset_ratios=(1.0, 1.0), lsj_crop=True, crop_size=32,
+                     max_text_len=16)
+    mapper = HIPIEMapper(cfg, make_tok(), is_train=True, max_gt=4, seed=0)
+    loader = TrainLoader(cfg, mapper, batch_size=2, seed=0)
+    assert loader.tasks == ["detection", "grounding"]
+    it = iter(loader.sampler)
+    tasks_seen = set()
+    for _ in range(20):
+        task, batch = loader._make_batch(it)
+        tasks_seen.add(task)
+        assert batch["images"].shape[0] == 2
+    assert tasks_seen == {"detection", "grounding"}

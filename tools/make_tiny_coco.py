@@ -160,12 +160,14 @@ def emit_ade_semseg(root: str):
     print(f"emitted ADE-layout semseg val ({len(ann['images'])} images)")
 
 
-def emit_refcoco(root: str):
-    """Emit a tiny RefCOCO-style split (annotations/refcoco-unc-val_instances
-    .json) from the val panoptic set: one referring expression per thing
+def emit_refcoco(root: str, split: str = "val2017",
+                 out_name: str = "refcoco-unc-val"):
+    """Emit a tiny RefCOCO-style split (annotations/{out_name}_instances
+    .json) from a panoptic split: one referring expression per thing
     instance ("the {kind} in the {region}"), RLE segmentation — the layout
-    tools/convert_refcoco.py produces and load_refcoco consumes. Exercises the
-    grounding eval path (oIoU / P@K) end-to-end on synthetic data."""
+    tools/convert_refcoco.py produces and load_refcoco consumes. Exercises
+    the grounding path end-to-end on synthetic data (val -> eval; train ->
+    the refcoco-mixed joint-training split)."""
     import json as _json
 
     import cv2
@@ -175,19 +177,19 @@ def emit_refcoco(root: str):
         sys.path.insert(0, sys_path)
     from hipie_tpu.evaluation.rle import rle_encode
 
-    ann = _json.load(open(os.path.join(root,
-                                       "coco/annotations/panoptic_val2017.json")))
+    ann = _json.load(open(os.path.join(
+        root, f"coco/annotations/panoptic_{split}.json")))
     id2name = {c["id"]: c["name"] for c in ann["categories"]}
     out_images, out_anns = [], []
     aid = 1
     for im, an in zip(ann["images"], ann["annotations"]):
-        png = cv2.imread(os.path.join(root, "coco/panoptic_val2017",
+        png = cv2.imread(os.path.join(root, f"coco/panoptic_{split}",
                                       an["file_name"]))[:, :, ::-1].astype(np.int64)
         pan = png[:, :, 0] + 256 * png[:, :, 1] + 65536 * png[:, :, 2]
         h, w = pan.shape
-        # val images live in coco/val2017 but load_refcoco roots at train2017;
-        # reference refcoco-mixed also reads train2017 — mirror the files.
-        src_img = os.path.join(root, "coco/val2017", im["file_name"])
+        # source images may live outside coco/train2017 but load_refcoco
+        # roots there (reference refcoco-mixed reads train2017) — mirror them.
+        src_img = os.path.join(root, f"coco/{split}", im["file_name"])
         dst_img = os.path.join(root, "coco/train2017", "ref_" + im["file_name"])
         if not os.path.exists(dst_img):
             import shutil
@@ -219,9 +221,9 @@ def emit_refcoco(root: str):
     out = {"images": out_images, "annotations": out_anns,
            "categories": [{"id": 1, "name": "object"}]}
     with open(os.path.join(root, "annotations",
-                           "refcoco-unc-val_instances.json"), "w") as f:
+                           f"{out_name}_instances.json"), "w") as f:
         _json.dump(out, f)
-    print(f"emitted tiny refcoco val: {len(out_anns)} expressions")
+    print(f"emitted tiny {out_name}: {len(out_anns)} expressions")
 
 
 def main():
@@ -241,6 +243,7 @@ def main():
         emit_ade_semseg(args.root)
     if args.refcoco:
         emit_refcoco(args.root)
+        emit_refcoco(args.root, split="train2017", out_name="refcoco-mixed")
     print(f"wrote {n} train + {m} val images under {args.root} "
           f"(set HIPIE_DATASETS={args.root})")
 

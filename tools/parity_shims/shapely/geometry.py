@@ -1,0 +1,2 @@
+def __getattr__(name):
+    raise ImportError(f"shapely shim: {name} not available in parity harness")

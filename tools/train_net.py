@@ -28,6 +28,8 @@ def parse_args():
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--vocab", default="", help="bert vocab.txt path")
     p.add_argument("--log-period", type=int, default=20)
+    p.add_argument("--no-eval", action="store_true",
+                   help="disable eval-during-training (EvalHook)")
     p.add_argument("--tensorboard", action="store_true",
                    help="mirror metrics to <output_dir>/tb (reference: "
                         "TensorboardXWriter + wandb sync_tensorboard)")
@@ -53,6 +55,7 @@ def main():
     from hipie_tpu.train.step import (TrainBatch, create_train_state,
                                       make_train_step)
     from hipie_tpu.train.trainer import Trainer
+    from hipie_tpu.evaluation.evaluator import make_inline_eval_fn
 
     cfg = (load_config(args.config_file) if args.config_file
            else getattr(presets, args.preset)())
@@ -79,14 +82,21 @@ def main():
     with jax.set_mesh(mesh):
         from hipie_tpu.parallel.mesh import batch_sharding
         bsh = batch_sharding(mesh)
-        first = TrainBatch(**next(iter(loader)))
-        first = jax.device_put(first, bsh)
+        _, first = next(iter(loader))
+        first = jax.device_put(TrainBatch(**first), bsh)
         state, tx = create_train_state(model, cfg, jax.random.PRNGKey(cfg.seed),
                                        first)
         state = state._replace(
             params=jax.device_put(state.params, shard_params(state.params, mesh)))
-        step = make_train_step(model, cfg, tx)
-        trainer = Trainer(cfg, model, state, tx, step, loader,
+        # one jitted step per task present in the training mix (reference
+        # train_net.py:110-164 routes the forward/loss task by dataset;
+        # batches are dataset-homogeneous so dispatch is per batch).
+        steps = {t: make_train_step(model, cfg, tx, task=t)
+                 for t in sorted(set(loader.tasks))}
+        eval_fn = (make_inline_eval_fn(cfg, model, tok)
+                   if cfg.test.eval_period > 0 and not args.no_eval else None)
+        trainer = Trainer(cfg, model, state, tx, steps, loader,
+                          eval_fn=eval_fn,
                           batch_sharding=bsh, log_period=args.log_period)
         if args.tensorboard:
             trainer.storage.enable_tensorboard()

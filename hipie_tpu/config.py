@@ -61,7 +61,8 @@ class TransformerConfig:
     nhead: int = 8
     num_encoder_layers: int = 6
     num_decoder_layers: int = 6
-    dim_feedforward: int = 1024
+    # reference config.py:193 DDETRS.DIM_FEEDFORWARD = 2048 (all recipes)
+    dim_feedforward: int = 2048
     # NOTE: dropout is validated-unsupported (the shipped HIPIE recipes all set
     # DROPOUT 0.0, r50.yaml:42); a nonzero value raises at model build instead
     # of being silently ignored.
@@ -75,6 +76,11 @@ class TransformerConfig:
     mixed_selection: bool = True
     # VL fusion (reference: vlfusion.py, fuse_helper.py)
     use_vl_fusion: bool = True
+    # reference config.py:196 NUM_VL_LAYERS=1: only the first num_vl_layers
+    # encoder layers carry a VLFuse bi-attention block; the rest are
+    # vision-only (_get_clones_advanced pads with nn.Identity). All shipped
+    # HIPIE recipes use the default 1.
+    num_vl_layers: int = 1
     vl_hidden_dim: int = 2048
     vl_nheads: int = 8
     use_extra_bert_layers: bool = False   # BertEncoderLayer inside encoder

@@ -85,15 +85,23 @@ class ConvGN(nn.Module):
     kernel_size: int = 1
     strides: int = 1
     groups: int = 32
+    # the reference's MaskDINO FPN lateral/output convs are d2 Conv2d with
+    # norm != "" → bias=False (maskdino_encoder.py:316-331); input_proj convs
+    # (plain nn.Conv2d) keep their bias.
+    use_bias: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        # explicit symmetric k//2 padding (torch Conv2d padding=k//2 semantics);
+        # "SAME" diverges for strided convs (asymmetric 0/1 pad at even sizes).
+        p = self.kernel_size // 2
         x = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
             strides=(self.strides, self.strides),
-            padding="SAME" if self.kernel_size > 1 else "VALID",
+            padding=((p, p), (p, p)),
+            use_bias=self.use_bias,
             dtype=self.dtype,
             name="conv",
         )(x)

@@ -138,13 +138,14 @@ class MaskDINOPixelDecoder(nn.Module):
 
         # FPN step on res3 (stride 8): lateral + upsampled high-res encoder map.
         s8 = level_maps[0]
-        lateral = ConvGN(c.hidden_dim, 1, dtype=self.dtype, name="adapter_1")(
-            features["res3"])
+        lateral = ConvGN(c.hidden_dim, 1, use_bias=False, dtype=self.dtype,
+                         name="adapter_1")(features["res3"])
         up = jax.image.resize(
             s8, (s8.shape[0], lateral.shape[1], lateral.shape[2], s8.shape[-1]),
             "bilinear")
         y = lateral + up
-        y = nn.relu(ConvGN(c.hidden_dim, 3, dtype=self.dtype, name="layer_1")(y))
+        y = nn.relu(ConvGN(c.hidden_dim, 3, use_bias=False, dtype=self.dtype,
+                           name="layer_1")(y))
 
         # mask features at stride 4.
         m = nn.ConvTranspose(c.hidden_dim, (2, 2), strides=(2, 2), dtype=self.dtype,

@@ -223,20 +223,39 @@ class VLDeformableTransformer(nn.Module):
             pos_flat = _shard_tokens(pos_flat)
             mask_flat = _shard_tokens(mask_flat)
 
-        # ---- encoder: scanned [VLFuse -> deformable layer [-> bert layer]] ----
+        # ---- encoder ----------------------------------------------------------
+        # reference (deformable_transformer_dino.py:302-353 + config.py:196):
+        # only the first NUM_VL_LAYERS (default 1) encoder layers carry a
+        # VLFuse bi-attention; the remaining layers are vision-only clones.
+        # We unroll the VL-carrying layers (they have extra params and heavy
+        # 2048-dim bi-attention) and nn.scan the homogeneous vision-only tail
+        # so it compiles once.
         enc_ref = encoder_reference_points(spatial_shapes, valid_ratios)
+        n_vl = min(c.num_vl_layers, c.num_encoder_layers) if c.use_vl_fusion else 0
+        carry = (src_flat, lang_hidden.astype(self.dtype))
         body = _EncoderScanBody
         if c.remat:
             body = nn.remat(_EncoderScanBody)
-        scan = nn.scan(body, variable_axes={"params": 0},
-                       split_rngs={"params": True}, in_axes=nn.broadcast,
-                       length=c.num_encoder_layers)
-        (memory, l_hidden), _ = scan(
-            c, self.lang_dim, spatial_shapes, dtype=self.dtype,
-            text_heads=self.text_heads,
-            text_intermediate=self.text_intermediate,
-            name="encoder")((src_flat, lang_hidden.astype(self.dtype)),
-                            pos_flat, enc_ref, mask_flat, lang_masks)
+        for i in range(n_vl):
+            carry, _ = body(
+                c, self.lang_dim, spatial_shapes, dtype=self.dtype,
+                text_heads=self.text_heads,
+                text_intermediate=self.text_intermediate,
+                name=f"encoder_vl{i}")(carry, pos_flat, enc_ref, mask_flat,
+                                       lang_masks)
+        n_tail = c.num_encoder_layers - n_vl
+        if n_tail > 0:
+            import dataclasses
+            tail_cfg = dataclasses.replace(c, use_vl_fusion=False)
+            scan = nn.scan(body, variable_axes={"params": 0},
+                           split_rngs={"params": True}, in_axes=nn.broadcast,
+                           length=n_tail)
+            carry, _ = scan(
+                tail_cfg, self.lang_dim, spatial_shapes, dtype=self.dtype,
+                text_heads=self.text_heads,
+                text_intermediate=self.text_intermediate,
+                name="encoder")(carry, pos_flat, enc_ref, mask_flat, lang_masks)
+        memory, l_hidden = carry
 
         # ---- pooled language feature for grounding ----------------------------
         lang_pool = agg_lang_feat(l_hidden, lang_masks)                  # (B, lang_dim)

@@ -59,12 +59,17 @@ _TP_RULES = [
     (r".*/encoder/layer/linear1/kernel", P(None, None, "model")),
     (r".*/encoder/layer/linear1/bias", P(None, "model")),
     (r".*/encoder/layer/linear2/kernel", P(None, "model", None)),
-    (r".*/encoder/vl_layer/attn/(v_proj|l_proj|values_v_proj|values_l_proj)/kernel",
-     P(None, None, "model", None)),
-    (r".*/encoder/vl_layer/attn/(v_proj|l_proj|values_v_proj|values_l_proj)/bias",
+    # unrolled VL-carrying encoder head layers (encoder_vl{i}: no leading
+    # scan axis; reference NUM_VL_LAYERS=1 keeps VLFuse out of the scan tail).
+    (r".*/encoder_vl\d+/layer/linear1/kernel", P(None, "model")),
+    (r".*/encoder_vl\d+/layer/linear1/bias", P("model")),
+    (r".*/encoder_vl\d+/layer/linear2/kernel", P("model", None)),
+    (r".*/vl_layer/attn/(v_proj|l_proj|values_v_proj|values_l_proj)/kernel",
      P(None, "model", None)),
-    (r".*/encoder/vl_layer/attn/(out_v_proj|out_l_proj)/kernel",
-     P(None, "model", None, None)),
+    (r".*/vl_layer/attn/(v_proj|l_proj|values_v_proj|values_l_proj)/bias",
+     P("model", None)),
+    (r".*/vl_layer/attn/(out_v_proj|out_l_proj)/kernel",
+     P("model", None, None)),
     # unrolled decoder / maskdino FFNs.
     (r".*/(enc_layers|dec_layers)_\d+/linear1/kernel", P(None, "model")),
     (r".*/(enc_layers|dec_layers)_\d+/linear1/bias", P("model")),

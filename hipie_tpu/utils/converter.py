@@ -56,8 +56,12 @@ def t_conv(sd: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
 
 
 def t_conv_transpose(sd: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
-    # torch: (in, out, kh, kw); flax ConvTranspose kernel: (kh, kw, in, out)
-    out = {"kernel": np.transpose(np.asarray(sd[f"{prefix}.weight"]), (2, 3, 0, 1))}
+    # torch: (in, out, kh, kw); flax ConvTranspose kernel: (kh, kw, in, out).
+    # flax (transpose_kernel=False) correlates with the kernel while torch's
+    # ConvTranspose2d convolves (gradient-of-conv): spatial dims must be
+    # flipped (verified numerically vs torch, tests/test_converter_roundtrip).
+    w = np.transpose(np.asarray(sd[f"{prefix}.weight"]), (2, 3, 0, 1))
+    out = {"kernel": w[::-1, ::-1].copy()}
     if f"{prefix}.bias" in sd:
         out["bias"] = np.asarray(sd[f"{prefix}.bias"])
     return out

@@ -56,7 +56,9 @@ def inv_conv(tree: Dict[str, Any], p: str, sd: SD) -> None:
 
 
 def inv_conv_transpose(tree: Dict[str, Any], p: str, sd: SD) -> None:
-    sd[f"{p}.weight"] = np.transpose(_np(tree["kernel"]), (2, 3, 0, 1))
+    # inverse of t_conv_transpose: undo the spatial flip, then permute
+    # (kh, kw, in, out) -> torch (in, out, kh, kw)
+    sd[f"{p}.weight"] = np.transpose(_np(tree["kernel"])[::-1, ::-1], (2, 3, 0, 1))
     if "bias" in tree:
         sd[f"{p}.bias"] = _np(tree["bias"])
 
@@ -255,11 +257,21 @@ def export_hipie_checkpoint(params: Dict[str, Any], cfg) -> SD:
     if "tgt_embed_bg" in tr:
         sd[f"{t}.tgt_embed_bg.weight"] = _np(tr["tgt_embed_bg"])
         sd[f"{t}.bg_query_refs.weight"] = _np(tr["bg_query_refs"])
-    for i, step in enumerate(unstack_trees(tr["encoder"])):
-        inv_enc_layer(step["layer"], f"{t}.encoder.layers.{i}", sd)
+    # unrolled VL-carrying head layers, then the scanned vision-only tail
+    n_vl = 0
+    while f"encoder_vl{n_vl}" in tr:
+        step = tr[f"encoder_vl{n_vl}"]
+        inv_enc_layer(step["layer"], f"{t}.encoder.layers.{n_vl}", sd)
         if "vl_layer" in step:
             inv_bi_attention(step["vl_layer"],
-                             f"{t}.encoder.vl_layers.{i}.b_attn", sd)
+                             f"{t}.encoder.vl_layers.{n_vl}.b_attn", sd)
+        n_vl += 1
+    if "encoder" in tr:
+        for i, step in enumerate(unstack_trees(tr["encoder"])):
+            inv_enc_layer(step["layer"], f"{t}.encoder.layers.{n_vl + i}", sd)
+            if "vl_layer" in step:
+                inv_bi_attention(step["vl_layer"],
+                                 f"{t}.encoder.vl_layers.{n_vl + i}.b_attn", sd)
     for i in range(tc.num_decoder_layers):
         inv_dec_layer(tr[f"dec_layers_{i}"], f"{t}.decoder.layers.{i}", sd)
         inv_mlp(tr[f"bbox_embed_{i}"], f"{d}.bbox_embed.{i}", sd)

@@ -183,15 +183,22 @@ def convert_hipie_checkpoint(sd: Dict[str, np.ndarray],
     if f"{t}.tgt_embed_bg.weight" in sd:
         tr["tgt_embed_bg"] = np.asarray(sd[f"{t}.tgt_embed_bg.weight"])
         tr["bg_query_refs"] = np.asarray(sd[f"{t}.bg_query_refs.weight"])
-    # scanned encoder: stack per-layer [vl_layer + layer].
-    enc_steps = []
-    for i in range(tc.num_encoder_layers):
+    # encoder: the first num_vl_layers layers are unrolled (VLFuse + layer,
+    # reference _get_clones_advanced pads vl_layers with Identity past
+    # NUM_VL_LAYERS=1, config.py:196); the vision-only tail is nn.scan-stacked.
+    n_vl = min(tc.num_vl_layers, tc.num_encoder_layers) \
+        if tc.use_vl_fusion else 0
+    for i in range(n_vl):
         step = {"layer": convert_enc_layer(sd, f"{t}.encoder.layers.{i}")}
         vp = f"{t}.encoder.vl_layers.{i}.b_attn"
         if f"{vp}.gamma_v" in sd:
             step["vl_layer"] = convert_bi_attention(sd, vp, tc.vl_nheads)
-        enc_steps.append(step)
-    tr["encoder"] = stack_trees(enc_steps)
+        tr[f"encoder_vl{i}"] = step
+    enc_steps = [
+        {"layer": convert_enc_layer(sd, f"{t}.encoder.layers.{i}")}
+        for i in range(n_vl, tc.num_encoder_layers)]
+    if enc_steps:
+        tr["encoder"] = stack_trees(enc_steps)
     # decoder layers (unrolled) + shared ref_point_head + per-layer bbox heads.
     for i in range(tc.num_decoder_layers):
         tr[f"dec_layers_{i}"] = convert_dec_layer(

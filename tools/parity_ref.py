@@ -50,6 +50,19 @@ def bootstrap():
         if not hasattr(_mu, _name) and hasattr(_pu, _name):
             setattr(_mu, _name, getattr(_pu, _name))
 
+    # neutralize torch.cuda.amp.custom_fwd(cast_inputs=float32): on the f64
+    # noise-floor run it would silently downcast encoder/pixel-decoder inputs
+    # back to f32 (decorator applied at class-definition time, so patch before
+    # the hipie modules import). No-op for the f32 run.
+    import torch
+    def _identity_custom_fwd(fwd=None, **_kw):
+        if fwd is not None:
+            return fwd
+        return lambda f: f
+    torch.cuda.amp.custom_fwd = _identity_custom_fwd
+    if hasattr(torch, "amp") and hasattr(torch.amp, "custom_fwd"):
+        torch.amp.custom_fwd = _identity_custom_fwd
+
     # register the reference package WITHOUT running hipie/__init__.py
     if "hipie" not in sys.modules:
         pkg = types.ModuleType("hipie")

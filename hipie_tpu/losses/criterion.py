@@ -249,6 +249,13 @@ def criterion_pass(
         # L*B auctions in ONE batched while_loop (max- instead of
         # sum-of-trip-counts across layers).
         def cost_one(cls_i, box_i, tb, pm, ml, gm, key):
+            # matching-cost sampling is capped at 2048 points (losses keep the
+            # full cfg.num_points=12544): measured on real batches + the
+            # 350-iter smoke checkpoint (tools/experiment_match_points.py,
+            # 4 batches x 16 seeds), assignments from 2048-pt costs agree with
+            # the EXACT dense-cost assignment 91.0% vs 89.4% for the
+            # reference's 12544-pt estimator — the cap adds no assignment
+            # error beyond the reference's own sampling noise.
             mc = mask_match_costs(key, ml, gm,
                                   num_points=min(cfg.num_points, 2048),
                                   cost_mask=cfg.mask_weight,

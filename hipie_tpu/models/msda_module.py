@@ -87,7 +87,9 @@ class MSDeformAttn(nn.Module):
 
         # bf16 quad tables under a bf16 compute dtype (matches the reference's
         # AMP fp16 sampling envelope); exact fp32 path otherwise (tests).
-        method = "flat_bf16" if self.dtype == jnp.bfloat16 else "flat"
+        # flat4: natural row order + fused Pallas segment reduce (round 2);
+        # falls back to pure XLA inside the kernel wrapper off-TPU.
+        method = "flat4_bf16" if self.dtype == jnp.bfloat16 else "flat"
         # custom-VJP wrapper: identical forward; hand-written backward (corner
         # regather + analytic loc/weight grads + MXU splat for grad(value))
         # instead of XLA's serialized scatter-add transpose (PERFORMANCE.md).

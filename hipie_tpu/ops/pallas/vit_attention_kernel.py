@@ -5,22 +5,23 @@ blocks (ViT-H at 1024^2: 20 blocks x 16 heads x 4096 tokens). The XLA path
 materializes the (B*heads, 4096, 4096) logits (+rel-pos add, +softmax) in HBM —
 ~0.5 GB per tensor per block; this kernel never materializes logits.
 
-Trick: the decomposed relative-position bias (reference
+The decomposed relative-position bias (reference
 projects/HIPIE/hipie/backbone/utils.py add_decomposed_rel_pos,
 vit.py:411-421) is
 
     bias[q, k] = rel_h[q, k // Kw] + rel_w[q, k % Kw]
 
-which is LINEAR in one-hot row/col indicators of k, so it folds into the
-QK^T matmul by augmenting the contraction dimension:
+separable in (k-row, k-col), so the q-contracted coefficients rel_h (N, Kh)
+and rel_w (N, Kw) are tiny compared to the (N, N) bias: the kernel streams
+them per query tile and adds them to the logits with a reshape-broadcast in
+VMEM. (Round-1 formulation folded the bias into QK^T as one-hot lanes —
+correct, but it padded the contraction from hd=80 to 208 -> 256 MXU lanes and
+materialized concatenated qcat/kcat copies in HBM; the broadcast-add variant
+measured faster.)
 
-    qcat = [q * scale, rel_h, rel_w]            (N, hd + Kh + Kw)
-    kcat = [k, onehot(k // Kw), onehot(k % Kw)] (N, hd + Kh + Kw)
-    logits = qcat @ kcat^T                       == q k^T * scale + bias
-
-The kernel then runs softmax(logits) @ v per 256-query tile with the full key
-range resident in VMEM (4096 x 208 bf16 = 1.7 MB) — a one-pass flash attention
-with no online-softmax bookkeeping needed.
+The kernel runs softmax(q k^T * scale + bias) @ v per 256-query tile with the
+full key range resident in VMEM (4096 x 80 bf16 = 0.7 MB) — a one-pass flash
+attention with no online-softmax bookkeeping needed.
 
 Forward-only; the public wrapper attaches a custom VJP that redoes the math in
 XLA for the backward (training wraps blocks in remat anyway).
@@ -36,11 +37,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(qcat_ref, kcat_ref, v_ref, o_ref):
+def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref):
+    tq = q_ref.shape[1]
+    kh, kw = rh_ref.shape[2], rw_ref.shape[2]
     s = jax.lax.dot_general(
-        qcat_ref[0], kcat_ref[0],
+        q_ref[0], k_ref[0],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)            # (TQ, N)
+    # decomposed rel-pos bias: bias[q, k] = rel_h[q, k//Kw] + rel_w[q, k%Kw].
+    # A reshape-broadcast add in VMEM — cheaper than carrying the bias as
+    # one-hot lanes through the QK^T contraction (the v1 formulation padded
+    # the contraction from hd=80 to 208 -> 256 lanes).
+    s = (s.reshape(tq, kh, kw)
+         + rh_ref[0].astype(jnp.float32)[:, :, None]
+         + rw_ref[0].astype(jnp.float32)[:, None, :]).reshape(tq, kh * kw)
     s = s - jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s)
     l = jnp.sum(p, axis=1, keepdims=True)
@@ -80,32 +90,27 @@ def _fwd_pallas(q, k, v, rel_h, rel_w, scale, tq: int = 256):
     assert kh * kw == n, (kh, kw, n)
     dt = v.dtype
 
-    qcat = jnp.concatenate(
-        [q.astype(jnp.float32) * scale, rel_h, rel_w], axis=-1).astype(dt)
-    karange = jnp.arange(n, dtype=jnp.int32)
-    row1h = (karange[:, None] // kw == jnp.arange(kh)[None, :]).astype(dt)
-    col1h = (karange[:, None] % kw == jnp.arange(kw)[None, :]).astype(dt)
-    kcat = jnp.concatenate(
-        [k.astype(dt), jnp.broadcast_to(row1h, (bh, n, kh)),
-         jnp.broadcast_to(col1h, (bh, n, kw))], axis=-1)
-
-    c = hd + kh + kw
+    qs = (q.astype(jnp.float32) * scale).astype(dt)
     grid = (bh, n // tq)
     return pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tq, c), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, c), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, tq, hd), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, hd), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, hd), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, kh), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, kw), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tq, hd), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, n, hd), dt),
-    )(qcat, kcat, v)
+    )(qs, k.astype(dt), v, rel_h.astype(dt), rel_w.astype(dt))
 
 
 def _fwd_rule(q, k, v, rel_h, rel_w, scale):

@@ -87,6 +87,12 @@ class TransformerConfig:
     # background (stuff) queries
     num_bg_queries: int = 10
     use_bg_lang_queries: bool = True      # language-derived bg queries
+    # static TRAIN-time bg_lang slot budget (model.bg_query_from_lang): unique
+    # stuff classes fill slots in first-occurrence order, the remainder are
+    # random negative tokens (reference appends exactly 20 negatives to a
+    # dynamic class count, ddetrs_dn.py:1137-1146); size this >= expected
+    # unique stuff classes per batch + ~20.
+    num_bg_lang_queries: int = 32
     # content-query source per task (reference deformable_transformer_dino.py
     # :258-275 + config.py:12-13; the HIPIE driver configs set both True)
     decouple_tgt: bool = True

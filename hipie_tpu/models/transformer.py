@@ -267,13 +267,24 @@ class VLDeformableTransformer(nn.Module):
         # (reference prepare_bg_queries_lan, hipie_img.py:1014-1024, which uses
         # detr.resizer on language_dict_features['hidden'][0]).
         if bg_lang_weights is not None and bg_queries_lang is None:
-            # per IMAGE: each batch element's own raw BERT tokens (prompts can
-            # differ across the batch; the reference runs batch 1 so its [0]
-            # indexing is per-image by construction).
-            q_lang = jnp.einsum(
-                "kl,bld->bkd", bg_lang_weights.astype(jnp.float32),
-                lang_hidden.astype(jnp.float32))
-            bg_queries_lang = resizer(q_lang.astype(self.dtype))   # (B, K, C)
+            if bg_lang_weights.ndim == 3:
+                # TRAIN: (K, B, L) pooling weights over the whole batch's raw
+                # tokens — one shared query set taken from each class's first-
+                # occurrence element (reference prepare_bg_queries_lan
+                # ddetrs_dn.py:1109-1148 builds batch-shared queries the same
+                # way, then repeats them over the batch).
+                q_lang = jnp.einsum(
+                    "kbl,bld->kd", bg_lang_weights.astype(jnp.float32),
+                    lang_hidden.astype(jnp.float32))
+                bg_queries_lang = resizer(q_lang.astype(self.dtype))  # (K, C)
+            else:
+                # per IMAGE: each batch element's own raw BERT tokens (prompts
+                # can differ across the batch; the reference runs batch 1 so
+                # its [0] indexing is per-image by construction).
+                q_lang = jnp.einsum(
+                    "kl,bld->bkd", bg_lang_weights.astype(jnp.float32),
+                    lang_hidden.astype(jnp.float32))
+                bg_queries_lang = resizer(q_lang.astype(self.dtype))  # (B,K,C)
 
         # ---- two-stage proposal generation -------------------------------------
         grid_props = []

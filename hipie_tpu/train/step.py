@@ -34,6 +34,7 @@ from hipie_tpu.losses.criterion import (
 )
 from hipie_tpu.models.dn import prepare_cdn
 from hipie_tpu.models.mask_head import dynamic_conv_param_sizes
+from hipie_tpu.train.bg_lang import prepare_bg_lang_queries
 from hipie_tpu.train.optimizer import build_optimizer
 
 
@@ -62,21 +63,30 @@ def make_loss_fn(model, cfg: HIPIEConfig, task: str = "detection"):
         mc.transformer.d_model // 32, mc.mask_head.dynamic_mask_channels,
         mc.mask_head.num_dynamic_layers, mc.mask_head.use_rel_coord)
     n_bg = mc.transformer.num_bg_queries
-    n_match = mc.transformer.num_queries + n_bg
+    n_bgl = (mc.transformer.num_bg_lang_queries
+             if mc.bg_query_from_lang else 0)
+    n_match = mc.transformer.num_queries + n_bg + n_bgl
     max_matched = mc.max_matched_masks
 
     def loss_fn(params, batch: TrainBatch, rng: jax.Array):
         t = batch.targets
-        k_dn, k_fg, k_bg, k_gt, k_md = jax.random.split(rng, 5)
+        k_dn, k_fg, k_bg, k_gt, k_md, k_bgl = jax.random.split(rng, 6)
         cdn = None
         dn_kwargs = {}
+        bgl = None
+        if n_bgl > 0:
+            bgl = prepare_bg_lang_queries(
+                k_bgl, t.labels, t.positive_map, t.is_thing, t.valid,
+                batch.lang_mask, mc.num_classes, n_bgl)
+            dn_kwargs["bg_lang_weights"] = bgl.weights
         if mc.dn.enabled:
             cdn = prepare_cdn(
                 k_dn, t.labels, t.boxes, t.valid, mc.num_classes, n_match,
                 dn_number=mc.dn.dn_number,
                 label_noise_ratio=mc.dn.label_noise_ratio,
                 box_noise_scale=mc.dn.box_noise_scale)
-            dn_kwargs = dict(dn_labels=cdn.noised_labels, dn_valid=cdn.slot_valid,
+            dn_kwargs.update(dn_labels=cdn.noised_labels,
+                             dn_valid=cdn.slot_valid,
                              dn_refs_unact=cdn.refs_unact,
                              self_attn_mask=cdn.attn_mask)
         md_dn = None
@@ -96,8 +106,12 @@ def make_loss_fn(model, cfg: HIPIEConfig, task: str = "detection"):
             rngs={"dropout": jax.random.fold_in(rng, 7)},
             **dn_kwargs)
 
+        # query layout [dn | bg_lang | bg | fg] (reference ddetrs_dn.py
+        # :446-448: start_bg_lang=pad, start_bg=pad+num_bg_lang, fg after both)
         pad = cdn.pad_size if cdn is not None else 0
-        start_bg, start_fg = pad, pad + n_bg
+        start_bgl = pad
+        start_bg = pad + n_bgl
+        start_fg = start_bg + n_bg
 
         def slice_layers(s, e, with_iou):
             lo = {
@@ -122,30 +136,45 @@ def make_loss_fn(model, cfg: HIPIEConfig, task: str = "detection"):
 
         passes, weights = [], []
         if lc.final_fg_weight != 0.0:
-            passes.append(criterion_pass(
-                k_fg, slice_layers(start_fg, None, True), fg_targets,
-                matcher="ota" if lc.matcher == "ota" else "hungarian",
-                **common))
+            with jax.named_scope("crit_fg"):
+                passes.append(criterion_pass(
+                    k_fg, slice_layers(start_fg, None, True), fg_targets,
+                    matcher="ota" if lc.matcher == "ota" else "hungarian",
+                    **common))
             weights.append(lc.final_fg_weight)
         if lc.final_bg_weight != 0.0:
-            passes.append(criterion_pass(
-                k_bg, slice_layers(start_bg, start_fg, False), bg_targets,
-                matcher="hungarian", **common))
+            if bgl is not None:
+                # bg_lang pass REPLACES the bg pass weight (reference
+                # ddetrs_dn.py:719-726 appends the bg_lang losses at the bg
+                # weight and zeroes all_weights[1]; it still runs the bg pass
+                # at weight 0 — skipped here, same gradients).
+                with jax.named_scope("crit_bg_lang"):
+                    passes.append(criterion_pass(
+                        jax.random.fold_in(k_bg, 1),
+                        slice_layers(start_bgl, start_bg, False), bg_targets,
+                        matcher="fixed", fixed_assign=bgl.assign, **common))
+            else:
+                with jax.named_scope("crit_bg"):
+                    passes.append(criterion_pass(
+                        k_bg, slice_layers(start_bg, start_fg, False),
+                        bg_targets, matcher="hungarian", **common))
             weights.append(lc.final_bg_weight)
         # encoder-proposal loss: the top-k selection feeding the decoder is
         # stop_gradient-ed, so without this pass the two-stage heads would get
         # ZERO gradient (reference attaches enc_outputs to the gt pass,
         # ddetrs_dn.py :700-704 — weighted like it, but computed regardless of
         # whether CDN is enabled).
-        enc_losses = encoder_loss_pass(
-            out["enc_outputs_class"],
-            jax.nn.sigmoid(out["enc_outputs_coord_unact"]),
-            t, batch.lang_mask, lc,
-            still_cls=mc.still_cls_for_encoder)
+        with jax.named_scope("crit_enc"):
+            enc_losses = encoder_loss_pass(
+                out["enc_outputs_class"],
+                jax.nn.sigmoid(out["enc_outputs_coord_unact"]),
+                t, batch.lang_mask, lc,
+                still_cls=mc.still_cls_for_encoder)
         if cdn is not None and lc.final_gt_weight != 0.0:
-            losses_gt = criterion_pass(
-                k_gt, slice_layers(0, pad, False), t,
-                matcher="fixed", fixed_assign=cdn.gt_assign, **common)
+            with jax.named_scope("crit_gt_dn"):
+                losses_gt = criterion_pass(
+                    k_gt, slice_layers(0, pad, False), t,
+                    matcher="fixed", fixed_assign=cdn.gt_assign, **common)
             losses_gt.update(enc_losses)
             passes.append(losses_gt)
             weights.append(lc.final_gt_weight)
@@ -169,21 +198,23 @@ def make_loss_fn(model, cfg: HIPIEConfig, task: str = "detection"):
             # matching (reference maskdino criterion + mask_dict dn losses).
             md_pad = md_dn.pad_size if md_dn is not None else 0
             md_layers_match = {k: v[:, :, md_pad:] for k, v in md_layers.items()}
-            losses_md = criterion_pass(
-                k_md, md_layers_match, t, matcher="hungarian",
-                text_mask=batch.lang_mask, mask_feats=out["mask_feats"],
-                image_sizes=batch.image_sizes, cfg=md_lc,
-                weight_nums=weight_nums, bias_nums=bias_nums,
-                max_matched=max_matched)
-            if md_dn is not None:
-                md_layers_dn = {k: v[:, :, :md_pad] for k, v in md_layers.items()}
-                losses_md_dn = criterion_pass(
-                    jax.random.fold_in(k_md, 3), md_layers_dn, t,
-                    matcher="fixed", fixed_assign=md_dn.gt_assign,
+            with jax.named_scope("crit_maskdino"):
+                losses_md = criterion_pass(
+                    k_md, md_layers_match, t, matcher="hungarian",
                     text_mask=batch.lang_mask, mask_feats=out["mask_feats"],
                     image_sizes=batch.image_sizes, cfg=md_lc,
                     weight_nums=weight_nums, bias_nums=bias_nums,
                     max_matched=max_matched)
+            if md_dn is not None:
+                md_layers_dn = {k: v[:, :, :md_pad] for k, v in md_layers.items()}
+                with jax.named_scope("crit_maskdino_dn"):
+                    losses_md_dn = criterion_pass(
+                        jax.random.fold_in(k_md, 3), md_layers_dn, t,
+                        matcher="fixed", fixed_assign=md_dn.gt_assign,
+                        text_mask=batch.lang_mask, mask_feats=out["mask_feats"],
+                        image_sizes=batch.image_sizes, cfg=md_lc,
+                        weight_nums=weight_nums, bias_nums=bias_nums,
+                        max_matched=max_matched)
                 losses_md.update({f"{k}_dn": v for k, v in losses_md_dn.items()})
             # interm (two-stage init) supervision, '_interm'-suffixed in the
             # reference maskdino criterion.
@@ -194,12 +225,13 @@ def make_loss_fn(model, cfg: HIPIEConfig, task: str = "detection"):
                 "masks": interm["pred_masks"][None],
             }
             k_md2 = jax.random.fold_in(k_md, 1)
-            losses_interm = criterion_pass(
-                k_md2, interm_layers, t, matcher="hungarian",
-                text_mask=batch.lang_mask, mask_feats=out["mask_feats"],
-                image_sizes=batch.image_sizes, cfg=md_lc,
-                weight_nums=weight_nums, bias_nums=bias_nums,
-                max_matched=max_matched)
+            with jax.named_scope("crit_maskdino_interm"):
+                losses_interm = criterion_pass(
+                    k_md2, interm_layers, t, matcher="hungarian",
+                    text_mask=batch.lang_mask, mask_feats=out["mask_feats"],
+                    image_sizes=batch.image_sizes, cfg=md_lc,
+                    weight_nums=weight_nums, bias_nums=bias_nums,
+                    max_matched=max_matched)
             losses_md.update({f"{k}_interm": v for k, v in losses_interm.items()})
             total = total + apply_weight_dict(losses_md, md_lc)
             metrics.update({f"{k}_maskdino": v for k, v in losses_md.items()

@@ -130,16 +130,26 @@ class SemSegEvaluator:
         self.conf += np.bincount(idx, minlength=self.n * self.n).reshape(self.n, self.n)
 
     def evaluate(self) -> Dict[str, float]:
+        # exact detectron2 SemSegEvaluator semantics (reference
+        # detectron2/evaluation/sem_seg_evaluation.py:148-166): IoU summed
+        # over gt-present classes but DIVIDED by the count of classes present
+        # in gt OR pred (a hallucinated never-in-gt class drags mIoU down);
+        # fwIoU weights by gt frequency; pACC = sum(tp)/sum(gt).
         tp = np.diag(self.conf).astype(np.float64)
         gt_total = self.conf.sum(1).astype(np.float64)
         pred_total = self.conf.sum(0).astype(np.float64)
         union = gt_total + pred_total - tp
-        valid = gt_total > 0
+        acc_valid = gt_total > 0
+        iou_valid = (gt_total + pred_total) > 0
         iou = np.where(union > 0, tp / np.maximum(union, 1e-9), 0.0)
-        acc = np.where(gt_total > 0, tp / np.maximum(gt_total, 1e-9), 0.0)
+        acc = np.where(acc_valid, tp / np.maximum(gt_total, 1e-9), 0.0)
+        class_weights = gt_total / max(gt_total.sum(), 1)
         return {
-            "mIoU": float(iou[valid].mean() * 100) if valid.any() else 0.0,
-            "mACC": float(acc[valid].mean() * 100) if valid.any() else 0.0,
+            "mIoU": float(iou[acc_valid].sum() / max(iou_valid.sum(), 1) * 100),
+            "fwIoU": float((iou[acc_valid] * class_weights[acc_valid]).sum()
+                           * 100),
+            "mACC": float(acc[acc_valid].mean() * 100) if acc_valid.any()
+                    else 0.0,
             "pACC": float(tp.sum() / max(self.conf.sum(), 1) * 100),
         }
 
@@ -212,7 +222,9 @@ class RefCOCOEvaluator:
         iou = inter / max(union, 1e-9)
         self.miou_sum += iou
         for k, t in enumerate(self.thresholds):
-            if iou >= t:
+            # STRICT >: reference _derive_refcoco_results uses np.sum(ious > K)
+            # (detectron2/evaluation/coco_evaluation.py:437-441)
+            if iou > t:
                 self.hits[k] += 1
         self.count += 1
 

@@ -56,8 +56,11 @@ def _brute_force_ap(images, max_det=100):
                 dets = sorted(enumerate(dets),
                               key=lambda kv: (-kv[1]["score"], kv[0]))
                 dets = [d for _, d in dets[:max_det]]
-                gt_ig = [bool(g.get("iscrowd", 0)) or not (lo <= g["area"] < hi)
-                         for g in gts]
+                # area-range membership is inclusive on BOTH ends
+                # (pycocotools: ignore iff area < lo or area > hi; verified
+                # against the reference cocoeval.cpp accumulate semantics)
+                gt_ig = [bool(g.get("iscrowd", 0))
+                         or not (lo <= g["area"] <= hi) for g in gts]
                 # gt order: non-ignored first, stable
                 order = sorted(range(len(gts)), key=lambda j: (gt_ig[j], j))
                 gts = [gts[j] for j in order]
@@ -83,7 +86,7 @@ def _brute_force_ap(images, max_det=100):
                             per_thr_rows[t].append(
                                 (d["score"], img_i, di, best_j >= 0, ig))
                         else:
-                            ig = not (lo <= d["area"] < hi)
+                            ig = not (lo <= d["area"] <= hi)
                             per_thr_rows[t].append(
                                 (d["score"], img_i, di, False, ig))
             for t in range(len(IOU_THRS)):
@@ -199,3 +202,46 @@ def test_ap_empty_and_perfect():
     r = ev.evaluate()
     assert r["AP"] == pytest.approx(100.0)
     assert np.isnan(r["APm"]) or r["APm"] >= 0  # small box only
+
+
+def test_area_range_boundary_inclusive():
+    """A GT with area EXACTLY 32^2 = 1024 belongs to BOTH 'small' and
+    'medium' (pycocotools membership is area < lo or area > hi, i.e.
+    inclusive on both ends — reference cocoeval.cpp keeps the same bounds).
+    A perfectly-matched detection must therefore score AP 100 in both."""
+    ev = COCOApEvaluator("bbox")
+    g = {"bbox": np.array([0.0, 0.0, 32.0, 32.0]), "area": 1024.0,
+         "category_id": 1, "iscrowd": 0}
+    ev.add_image(0, [g], [dict(g, score=0.9)])
+    r = ev.evaluate()
+    assert r["APs"] == pytest.approx(100.0)
+    assert r["APm"] == pytest.approx(100.0)
+    assert np.isnan(r["APl"])
+
+
+@pytest.mark.parametrize("seed", [10, 11])
+def test_ap_matches_brute_force_boundary_areas(seed):
+    """Fuzz with areas snapped onto the exact range boundaries (1024, 9216):
+    any inclusive/exclusive disagreement between the implementations shows
+    up immediately here."""
+    rng = np.random.RandomState(seed)
+    images = _random_problem(rng, n_images=6, with_crowd=True)
+    side_s, side_m = 32.0, 96.0
+    for gts, dets in images:
+        for a in gts + dets:
+            if rng.rand() < 0.5:
+                side = side_s if rng.rand() < 0.5 else side_m
+                x, y = a["bbox"][:2]
+                a["bbox"] = np.array([x, y, x + side, y + side])
+                a["area"] = side * side
+    ev = COCOApEvaluator("bbox")
+    for i, (gts, dets) in enumerate(images):
+        ev.add_image(i, gts, dets)
+    got = ev.evaluate()
+    want = _brute_force_ap(images)
+    for k in ("AP", "AP50", "AP75", "APs", "APm", "APl"):
+        if np.isnan(want[k]):
+            assert np.isnan(got[k]), k
+        else:
+            assert got[k] == pytest.approx(want[k], abs=1e-6), \
+                f"{k}: {got[k]} vs brute-force {want[k]}"

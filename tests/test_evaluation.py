@@ -102,3 +102,18 @@ def test_refcoco_oiou():
     assert abs(res["oIoU"] - (50 + 30) / (50 + 50) * 100) < 1e-4
     assert res["P@0.5"] == 100.0      # second image IoU 0.6 still passes @0.5
     assert res["P@0.7"] == 50.0
+
+
+def test_refcoco_precision_strictly_greater():
+    """P@K uses STRICT > like the reference (np.sum(ious > K),
+    detectron2/evaluation/coco_evaluation.py:437): IoU exactly 0.5 does
+    NOT count at P@0.5."""
+    from hipie_tpu.evaluation.seg_eval import RefCOCOEvaluator
+
+    ev = RefCOCOEvaluator()
+    g = np.zeros((4, 4), bool); g[:2] = True            # 8 px
+    p = np.zeros((4, 4), bool); p[0] = True             # 4 px inside g
+    ev.add_image(p, g)                                  # I=4 U=8: IoU = 0.5
+    res = ev.evaluate()
+    assert res["P@0.5"] == 0.0
+    assert res["mIoU"] == 50.0

@@ -109,6 +109,13 @@ if __name__ == "__main__":
         "prod1024_b2": {"data.crop_size": 1024, "solver.ims_per_batch": 2,
                         "data.max_text_len": 128,
                         "model.text.max_query_len": 128},
+        # VERDICT item 6: ViT-H production-scale train step (vit_huge_32g.yaml
+        # geometry: 1024^2 LSJ, batch 1/chip, remat on backbone+transformer)
+        "vith1024": {"data.crop_size": 1024, "solver.ims_per_batch": 1,
+                     "data.max_text_len": 128, "model.text.max_query_len": 128,
+                     "model.backbone.name": "vit_huge",
+                     "model.backbone.vit_remat": True,
+                     "model.transformer.remat": True},
     }
     for tag in which:
         try:

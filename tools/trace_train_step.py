@@ -51,8 +51,12 @@ def main():
         state, m = step(state, b2, k)
         _ = float(np.asarray(m["total_loss"]))
 
-    from tools.trace_common import print_top_device_ops
+    from tools.trace_common import print_scope_rollup, print_top_device_ops
     print_top_device_ops(outdir)
+    print_scope_rollup(outdir, [
+        "crit_fg", "crit_bg_lang", "crit_bg", "crit_enc", "crit_gt_dn",
+        "crit_maskdino_dn", "crit_maskdino_interm", "crit_maskdino",
+        "transpose", "backward"])
 
 
 if __name__ == "__main__":

@@ -15,6 +15,7 @@ construction) or the fused Pallas kernel for hot inference shapes.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -89,7 +90,10 @@ class MSDeformAttn(nn.Module):
         # AMP fp16 sampling envelope); exact fp32 path otherwise (tests).
         # flat4: natural row order + fused Pallas segment reduce (round 2);
         # falls back to pure XLA inside the kernel wrapper off-TPU.
-        method = "flat4_bf16" if self.dtype == jnp.bfloat16 else "flat"
+        # HIPIE_MSDA_METHOD overrides for A/B perf experiments (read at trace
+        # time; same formulations, identical numerics class).
+        method = os.environ.get("HIPIE_MSDA_METHOD") or (
+            "flat4_bf16" if self.dtype == jnp.bfloat16 else "flat")
         # custom-VJP wrapper: identical forward; hand-written backward (corner
         # regather + analytic loc/weight grads + MXU splat for grad(value))
         # instead of XLA's serialized scatter-add transpose (PERFORMANCE.md).

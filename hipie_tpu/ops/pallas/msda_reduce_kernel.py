@@ -48,16 +48,21 @@ def _kernel(g_ref, cw_ref, o_ref, *, k: int, d: int):
 
 
 def msda_weighted_segment_sum(g: jnp.ndarray, cw: jnp.ndarray, k: int,
-                              block_rows: int = 8192) -> jnp.ndarray:
+                              block_rows: int = 8192,
+                              interpret: bool = False) -> jnp.ndarray:
     """g: (N, 4d) gathered corner-packed rows; cw: (N, 4) per-corner weights
     (bilinear * attention, zeroed out-of-range). N must be a multiple of k.
     Returns (N // k, 4d) float32: per-segment weighted sums (corners still
     packed in lanes; caller reshapes (.., 4, d) and sums the corner axis).
+
+    interpret=True runs the Pallas kernel body in interpret mode on any
+    backend (test hook — the default non-TPU path below never executes the
+    kernel, so tests use this to cover the block/grid logic off-TPU).
     """
     n, fd = g.shape
     d = fd // 4
     assert n % k == 0, (n, k)
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" and not interpret:
         gw = g.astype(jnp.float32) * jnp.repeat(cw.astype(jnp.float32), d, 1)
         return jnp.sum(gw.reshape(n // k, k, fd), axis=1)
 
@@ -79,5 +84,6 @@ def msda_weighted_segment_sum(g: jnp.ndarray, cw: jnp.ndarray, k: int,
         out_specs=pl.BlockSpec((tq, fd), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((np_ // k, fd), jnp.float32),
+        interpret=interpret,
     )(g, cw)
     return out[: n // k]

@@ -10,12 +10,24 @@ jax.config, not os.environ.
 
 import os
 
+# HIPIE_TESTS_TPU=1 leaves the platform alone so the @tpu-marked tests (real
+# Mosaic kernel compilation, in-program A/B) run against the tunneled chip:
+#   HIPIE_TESTS_TPU=1 python -m pytest tests -m tpu
+_TPU_RUN = os.environ.get("HIPIE_TESTS_TPU", "") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _TPU_RUN and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
-os.environ["JAX_PLATFORMS"] = "cpu"
+if not _TPU_RUN:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_RUN:
+    jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: needs a real TPU (run with HIPIE_TESTS_TPU=1)")

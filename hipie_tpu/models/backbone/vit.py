@@ -27,6 +27,7 @@ TPU-first design notes:
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Any, Optional, Sequence, Tuple
 
@@ -141,6 +142,14 @@ class ViTAttention(nn.Module):
             and h * w >= 1024 and (h * w) % 256 == 0
             and jax.default_backend() == "tpu"
         )
+        # HIPIE_VIT_ATTN=xla|flash: in-program A/B override (read at trace
+        # time, like HIPIE_MSDA_METHOD) — standalone microbenches mislead on
+        # this platform, so kernel comparisons run through the full bench.
+        _ov = os.environ.get("HIPIE_VIT_ATTN", "")
+        if _ov == "xla":
+            use_flash = False
+        elif _ov == "flash" and jax.default_backend() == "tpu":
+            use_flash = self.use_rel_pos and (h * w) % 256 == 0
         if use_flash:
             from hipie_tpu.ops.pallas.vit_attention_kernel import vit_global_attention
 

@@ -88,12 +88,13 @@ class MSDeformAttn(nn.Module):
 
         # bf16 quad tables under a bf16 compute dtype (matches the reference's
         # AMP fp16 sampling envelope); exact fp32 path otherwise (tests).
-        # flat4: natural row order + fused Pallas segment reduce (round 2);
-        # falls back to pure XLA inside the kernel wrapper off-TPU.
-        # HIPIE_MSDA_METHOD overrides for A/B perf experiments (read at trace
-        # time; same formulations, identical numerics class).
+        # Default is flat_bf16 — the formulation behind the round-1 measured
+        # 4.29 img/s. flat4_bf16 (natural row order + fused Pallas reduce) is
+        # selectable via HIPIE_MSDA_METHOD for the in-program TPU A/B and
+        # becomes the default only once it has a measured win AND green
+        # tpu-marked tests (round-2 lesson: no default without evidence).
         method = os.environ.get("HIPIE_MSDA_METHOD") or (
-            "flat4_bf16" if self.dtype == jnp.bfloat16 else "flat")
+            "flat_bf16" if self.dtype == jnp.bfloat16 else "flat")
         # custom-VJP wrapper: identical forward; hand-written backward (corner
         # regather + analytic loc/weight grads + MXU splat for grad(value))
         # instead of XLA's serialized scatter-add transpose (PERFORMANCE.md).

@@ -17,6 +17,19 @@ token (the reference always appends exactly 20 negatives; filling the static
 remainder generalizes that). Queries are expressed as pooling WEIGHTS over
 the raw BERT hidden states (slots, B, L) so the model pools + resizes
 on-device exactly like the inference-side bg_lang path (transformer.py).
+
+Known deliberate divergences from the reference TRAIN path:
+  * Pool-then-resize order: the reference is internally inconsistent — its
+    TRAIN path applies the resizer (Linear+LayerNorm) per token BEFORE
+    pooling (ddetrs_dn.py:1110) while its INFERENCE path pools raw tokens
+    first (hipie_img.py:1023); LayerNorm does not commute with pooling. We
+    match the INFERENCE order on both sides so train and eval see identical
+    query construction (the property the reference itself lacks).
+  * One slot per class: if one image holds two valid stuff GTs of the SAME
+    class, only the last one is supervised (`assign.at[...].set` keeps the
+    final write); the reference pairs the shared query with every duplicate.
+    COCO panoptic has at most one stuff segment per class per image, so this
+    only matters for non-COCO data — see test_bg_lang_queries.py.
 """
 
 from __future__ import annotations
@@ -74,8 +87,12 @@ def prepare_bg_lang_queries(
                * has_class[:, None, None])                     # (K, B, L)
 
     # negative slots: one random un-covered real token each (reference :1137-
-    # 1146 appends 20 random negatives; here every class-less slot is one)
-    covered = (positive_map * stuff[..., None]).sum(1) > 1e-6  # (B, L)
+    # 1146 appends 20 random negatives; here every class-less slot is one).
+    # "covered" counts tokens in ANY valid GT's positive map — things AND
+    # stuff — matching the reference's positive_map.sum(0)==0 test
+    # (ddetrs_dn.py:1141); a thing-class token must not be supervised as
+    # a no-object bg query. (ADVICE r2 fix: was stuff-only.)
+    covered = (positive_map * valid[..., None]).sum(1) > 1e-6  # (B, L)
     neg_ok = (lang_mask > 0) & ~covered
     g = jax.random.gumbel(rng, (b * L,))
     scores = jnp.where(neg_ok.reshape(-1), g, -jnp.inf)

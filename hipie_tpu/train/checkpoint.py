@@ -56,7 +56,19 @@ def latest_checkpoint(directory: str) -> Optional[str]:
     if not os.path.exists(marker):
         return None
     with open(marker) as f:
-        return os.path.join(directory, f.read().strip())
+        path = os.path.join(directory, f.read().strip())
+    if os.path.exists(path):
+        return path
+    # Crash-window recovery: save_checkpoint's overwrite is two renames
+    # (path -> path.old, tmp -> path); dying between them leaves the previous
+    # snapshot intact under .old (or the new one complete under .tmp with the
+    # orbax commit marker) while the marker still names `path`.
+    for alt in (f"{path}.old", f"{path}.tmp"):
+        if os.path.exists(alt):
+            print(f"[checkpoint] {path} missing (interrupted save); "
+                  f"resuming from {alt}")
+            return alt
+    return None
 
 
 def restore_checkpoint(path: str, state):

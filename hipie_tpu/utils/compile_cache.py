@@ -11,7 +11,29 @@ TPU-native counterpart of "fast restart" in the checkpoint/resume story.
 
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def _host_cpu_key() -> str:
+    """Fingerprint of the host CPU's feature set.
+
+    /tmp (and so the cache dir) survives across rounds on this platform, but
+    the host VM does NOT necessarily: XLA:CPU AOT results compiled for one
+    machine's feature set (e.g. +amx, +prefer-no-scatter) load on a host
+    without them with an 'execution errors such as SIGILL' warning — observed
+    in the round-2 bench/joint logs. Keying the CPU cache by the host feature
+    set makes such stale entries invisible instead of dangerous.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
 
 
 def enable_compilation_cache(directory: str | None = None) -> None:
@@ -20,6 +42,10 @@ def enable_compilation_cache(directory: str | None = None) -> None:
 
     d = directory or os.environ.get("HIPIE_COMPILE_CACHE",
                                     "/tmp/hipie_compile_cache")
+    # TPU entries target the accelerator, not the host — shared dir is fine.
+    # CPU entries are host-machine code: isolate per host feature set.
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        d = os.path.join(d, f"cpu-{_host_cpu_key()}")
     try:
         jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

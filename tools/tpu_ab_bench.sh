@@ -1,0 +1,28 @@
+#!/bin/bash
+# TPU kernel A/B session (VERDICT r2 task 2): run the FULL bench under each
+# kernel variant the moment the tunnel is back. In-program numbers only —
+# standalone microbenches mislead on this platform (PERFORMANCE.md).
+#
+#   bash tools/tpu_ab_bench.sh [iters]
+#
+# Writes one JSON line per variant to /tmp/ab_bench_results.jsonl.
+set -u
+cd "$(dirname "$0")/.."
+ITERS="${1:-10}"
+OUT=/tmp/ab_bench_results.jsonl
+: > "$OUT"
+
+run() {
+  local name="$1"; shift
+  echo "== $name ($(date +%H:%M:%S))"
+  local line
+  line=$(env "$@" BENCH_ITERS="$ITERS" timeout 3000 python bench.py 2>/tmp/ab_bench_last.err | tail -1)
+  echo "{\"variant\": \"$name\", \"result\": ${line:-null}}" | tee -a "$OUT"
+}
+
+# default (flat4_bf16 MSDA + flash ViT) first: it warms the shared weights init
+run baseline_flat4_flash
+run msda_flat_bf16   HIPIE_MSDA_METHOD=flat_bf16
+run msda_flat2_bf16  HIPIE_MSDA_METHOD=flat2_bf16
+run vit_xla          HIPIE_VIT_ATTN=xla
+echo "done -> $OUT"

@@ -35,6 +35,7 @@ from hipie_tpu.losses.matcher import (
     hungarian_vl_costs,
     hungarian_vl_match,
     mask_match_costs,
+    mask_match_costs_embed,
     simota_match,
 )
 from hipie_tpu.losses.point_features import point_sample, uncertain_point_coords
@@ -197,12 +198,20 @@ def criterion_pass(
     max_matched: int = 100,
     with_masks: bool = True,
     ota_normalize_by_matches: bool = True,
+    pixel_feats: Optional[jnp.ndarray] = None,   # (B, H, W, C) for mask_embeds
 ) -> Dict[str, jnp.ndarray]:
     """One criterion pass (fg, bg or gt) over all decoder layers.
 
     The per-layer computation (matching + losses) is identical across layers, so
     it is lax.scan'ed over the stacked layer axis — the body compiles once
-    regardless of decoder depth."""
+    regardless of decoder depth.
+
+    Masks come in three forms: "ctrl"+"refs" (dynamic-conv CondInst head),
+    "masks" (dense per-layer logits), or "mask_embeds" (L, B, Q, C) with
+    `pixel_feats` — the linear MaskDINO head, where dense logits are built
+    ONLY for the <= max_matched selected slots and matching costs are
+    evaluated at the sampled points directly (exact: the head is linear, so
+    sampling commutes with the embed contraction)."""
     classes = layer_outputs["classes"]
     # class logits may span fewer token channels than the padded text length:
     # grounding pools the language feature to ONE channel (reference
@@ -219,6 +228,7 @@ def criterion_pass(
     ctrl = layer_outputs.get("ctrl")
     refs = layer_outputs.get("refs")
     dense_masks = layer_outputs.get("masks")
+    mask_embeds = layer_outputs.get("mask_embeds")
     num_layers = classes.shape[0]
 
     num_gt = targets.valid.sum().astype(jnp.float32)
@@ -271,7 +281,28 @@ def criterion_pass(
                 cls_l, box_l, targets.boxes, targets.positive_map,
                 jax.lax.stop_gradient(ml_l), targets.masks, bkeys)
 
-        if dense_masks is not None:
+        if mask_embeds is not None:
+            def cost_one_e(cls_i, box_i, tb, pm, emb_i, f_i, gm, key):
+                mc = mask_match_costs_embed(
+                    key, emb_i, f_i, gm,
+                    num_points=min(cfg.num_points, 2048),
+                    cost_mask=cfg.mask_weight, cost_dice=cfg.dice_weight)
+                return hungarian_vl_costs(
+                    jax.nn.sigmoid(cls_i.astype(jnp.float32)), box_i, tb, pm,
+                    cost_class=cfg.class_weight, cost_bbox=cfg.bbox_weight,
+                    cost_giou=cfg.giou_weight, mask_cost=mc)
+
+            pf_sg = jax.lax.stop_gradient(pixel_feats)
+
+            def cost_layer_e(cls_l, box_l, emb_l, key):
+                bkeys = jax.random.split(key, cls_l.shape[0])
+                return jax.vmap(cost_one_e)(
+                    cls_l, box_l, targets.boxes, targets.positive_map,
+                    jax.lax.stop_gradient(emb_l), pf_sg, targets.masks, bkeys)
+
+            costs_all = jax.vmap(cost_layer_e)(
+                classes, boxes, mask_embeds, k_match_all)
+        elif dense_masks is not None:
             costs_all = jax.vmap(cost_layer)(
                 classes, boxes, dense_masks, k_match_all)
         else:
@@ -297,6 +328,7 @@ def criterion_pass(
         "cls": classes, "box": boxes,
         "iou": ious if ious is not None else None,
         "ctrl": ctrl, "refs": refs, "masks": dense_masks,
+        "mask_embeds": mask_embeds,
         "assign": assign_all, "k_pts": k_pts_all,
     }
     xs = {k: v for k, v in xs.items() if v is not None}
@@ -319,7 +351,7 @@ def criterion_pass(
             alpha=cfg.focal_alpha, gamma=cfg.focal_gamma)}
         out.update(loss_boxes(box_l, x.get("iou"), assign, targets, num_boxes))
 
-        if with_masks and ("ctrl" in x or "masks" in x):
+        if with_masks and ("ctrl" in x or "masks" in x or "mask_embeds" in x):
             sel_q, sel_valid = select_matched(assign, max_matched)
             # surface silently-dropped mask supervision: simOTA's dynamic-k can
             # match more than max_matched queries (VERDICT r1); monitor via the
@@ -327,7 +359,17 @@ def criterion_pass(
             out["matchdrop"] = jnp.maximum(
                 (assign >= 0).sum(axis=1) - max_matched, 0).astype(
                     jnp.float32).sum()
-            if "masks" in x:
+            if "mask_embeds" in x:
+                # dense logits ONLY for the selected K slots: selection
+                # commutes with the (linear) embed contraction, so this equals
+                # selecting rows of the dense (Q, H, W) stack.
+                emb_sel = jnp.take_along_axis(
+                    x["mask_embeds"].astype(jnp.float32),
+                    sel_q[..., None], axis=1)            # (B, K, C)
+                pred_masks = jnp.einsum(
+                    "bkc,bhwc->bkhw", emb_sel,
+                    pixel_feats.astype(jnp.float32))
+            elif "masks" in x:
                 pred_masks = jnp.take_along_axis(
                     x["masks"], sel_q[..., None, None], axis=1)
             else:

@@ -240,3 +240,37 @@ def mask_match_costs(
     denom = m.sum(-1)[:, None] + tp.sum(-1)[None, :]
     dice = 1 - (numer + 1) / (denom + 1)
     return cost_mask * ce + cost_dice * dice
+
+
+def mask_match_costs_embed(
+    rng: jax.Array,
+    mask_embeds: jnp.ndarray,      # (Q, C) mask-embedding rows
+    pixel_feats: jnp.ndarray,      # (H, W, C) shared mask-feature map
+    gt_masks: jnp.ndarray,         # (N, H', W') float 0/1
+    num_points: int = 12544,
+    cost_mask: float = 5.0,
+    cost_dice: float = 5.0,
+) -> jnp.ndarray:
+    """mask_match_costs for LINEAR mask heads (MaskDINO: mask = emb . F).
+
+    point_sample is linear, so sampling the feature map once and contracting
+    with the embeddings gives the same point logits as materializing the dense
+    (Q, H, W) masks and sampling them — without the Q x H x W intermediate
+    (matcher_mask.py:70-200 semantics preserved to float-reassociation)."""
+    from hipie_tpu.losses.point_features import point_sample
+
+    coords = jax.random.uniform(rng, (num_points, 2))
+    fc = jnp.moveaxis(pixel_feats.astype(jnp.float32), -1, 0)   # (C, H, W)
+    fp = point_sample(fc, jnp.broadcast_to(
+        coords[None], (fc.shape[0],) + coords.shape))           # (C, P)
+    mp = mask_embeds.astype(jnp.float32) @ fp                   # (Q, P)
+    tp = point_sample(gt_masks, jnp.broadcast_to(
+        coords[None], (gt_masks.shape[0],) + coords.shape)).astype(jnp.float32)
+    pos = jax.nn.softplus(-mp)
+    neg = jax.nn.softplus(mp)
+    ce = (pos @ tp.T + neg @ (1 - tp).T) / num_points
+    m = jax.nn.sigmoid(mp)
+    numer = 2 * (m @ tp.T)
+    denom = m.sum(-1)[:, None] + tp.sum(-1)[None, :]
+    dice = 1 - (numer + 1) / (denom + 1)
+    return cost_mask * ce + cost_dice * dice

@@ -247,7 +247,8 @@ class HIPIEDetector(nn.Module):
                                 dn_refs_unact=maskdino_dn_refs,
                                 dn_valid=maskdino_dn_valid,
                                 self_attn_mask=maskdino_attn_mask,
-                                lang_pool=lang_pool_md)
+                                lang_pool=lang_pool_md,
+                                emit_embeds=train)
             lang_md = lang_for_cls
             md["pred_logits"] = self.mask_dino_cls_embeds[-1](
                 md["pred_logits"].astype(self.compute_dtype), lang_md)

@@ -175,7 +175,17 @@ class MaskDINODecoder(nn.Module):
         self_attn_mask: Optional[jnp.ndarray] = None,
         dn_valid: Optional[jnp.ndarray] = None,       # (B, pad)
         lang_pool: Optional[jnp.ndarray] = None,      # (B, lang_dim)
+        emit_embeds: bool = False,
     ) -> Dict[str, Any]:
+        """With emit_embeds=True (training), per-layer DENSE masks are never
+        materialized: mask = mask_embed(q) . mask_features is LINEAR in the
+        pixel features, so the criterion evaluates it at sampled points /
+        selected slots instead (point_sample(emb @ F) == emb @ point_sample(F)
+        exactly). The dense path emitted (layers x Q x H4 x W4) logits —
+        ~860 MB of HBM writes per step at 1024^2 — that existed only to be
+        point-sampled down to <=2048/12544 points by the criterion. Output
+        keys become mask_embeds/aux.mask_embeds/interm.pred_mask_embed plus
+        mask_features."""
         c = self.cfg
         b = level_maps[0].shape[0]
         spatial_shapes: Shapes = tuple((m.shape[1], m.shape[2]) for m in level_maps)
@@ -197,7 +207,8 @@ class MaskDINODecoder(nn.Module):
             mask = None
             if with_mask:
                 emb = mask_embed(d).astype(jnp.float32)
-                mask = jnp.einsum("bqc,bhwc->bqhw", emb, mf)
+                mask = emb if emit_embeds else jnp.einsum(
+                    "bqc,bhwc->bqhw", emb, mf)
             return logits, mask
 
         # ---- two-stage init -------------------------------------------------
@@ -280,6 +291,19 @@ class MaskDINODecoder(nn.Module):
             classes_list.append(cls_l)
             masks_list.append(m_l)
 
+        if emit_embeds:
+            interm = dict(interm)
+            interm["pred_mask_embed"] = interm.pop("pred_masks")
+            return {
+                "pred_logits": classes_list[-1],
+                "pred_mask_embed": masks_list[-1],    # (B, Q, mask_dim)
+                "pred_boxes": boxes_list[-1],
+                "aux": {"classes": classes_list[:-1],
+                        "mask_embeds": masks_list[:-1],
+                        "boxes": boxes_list[:-1]},
+                "interm_outputs": interm,
+                "mask_features": mf,                  # (B, H4, W4, mask_dim)
+            }
         return {
             "pred_logits": classes_list[-1],      # (B, Q, hidden) VL embeddings
             "pred_masks": masks_list[-1],         # (B, Q, H4, W4)
@@ -299,10 +323,10 @@ class MaskDINOHead(nn.Module):
     @nn.compact
     def __call__(self, features, shared_memory_levels=None,
                  dn_tgt=None, dn_refs_unact=None, self_attn_mask=None,
-                 dn_valid=None, lang_pool=None):
+                 dn_valid=None, lang_pool=None, emit_embeds=False):
         mask_features, level_maps = MaskDINOPixelDecoder(
             self.cfg, dtype=self.dtype, name="pixel_decoder")(
             features, shared_memory_levels)
         return MaskDINODecoder(self.cfg, dtype=self.dtype, name="predictor")(
             level_maps, mask_features, dn_tgt, dn_refs_unact, self_attn_mask,
-            dn_valid, lang_pool)
+            dn_valid, lang_pool, emit_embeds=emit_embeds)

@@ -187,11 +187,15 @@ def make_loss_fn(model, cfg: HIPIEConfig, task: str = "detection"):
         metrics = {k: v for k, v in merged.items() if "_" not in k[5:]}
         if mc.maskdino.enabled and "maskdino" in out:
             md = out["maskdino"]
+            # training emits mask EMBEDDINGS + the shared pixel-feature map
+            # (emit_embeds=True): the criterion samples/selects from the linear
+            # head instead of dense per-layer (Q, H4, W4) logits.
+            md_pixel_feats = md["mask_features"]
             md_layers = {
                 "classes": jnp.stack(md["aux"]["classes"] + [md["pred_logits"]]),
                 "boxes": jnp.stack(md["aux"]["boxes"] + [md["pred_boxes"]]),
-                "masks": jnp.stack(
-                    [m for m in md["aux"]["masks"]] + [md["pred_masks"]]),
+                "mask_embeds": jnp.stack(
+                    md["aux"]["mask_embeds"] + [md["pred_mask_embed"]]),
             }
             # the dn slots (when present) sit in FRONT of the matching queries;
             # supervise them with fixed CDN indices and the rest by Hungarian
@@ -204,7 +208,7 @@ def make_loss_fn(model, cfg: HIPIEConfig, task: str = "detection"):
                     text_mask=batch.lang_mask, mask_feats=out["mask_feats"],
                     image_sizes=batch.image_sizes, cfg=md_lc,
                     weight_nums=weight_nums, bias_nums=bias_nums,
-                    max_matched=max_matched)
+                    max_matched=max_matched, pixel_feats=md_pixel_feats)
             if md_dn is not None:
                 md_layers_dn = {k: v[:, :, :md_pad] for k, v in md_layers.items()}
                 with jax.named_scope("crit_maskdino_dn"):
@@ -214,7 +218,7 @@ def make_loss_fn(model, cfg: HIPIEConfig, task: str = "detection"):
                         text_mask=batch.lang_mask, mask_feats=out["mask_feats"],
                         image_sizes=batch.image_sizes, cfg=md_lc,
                         weight_nums=weight_nums, bias_nums=bias_nums,
-                        max_matched=max_matched)
+                        max_matched=max_matched, pixel_feats=md_pixel_feats)
                 losses_md.update({f"{k}_dn": v for k, v in losses_md_dn.items()})
             # interm (two-stage init) supervision, '_interm'-suffixed in the
             # reference maskdino criterion.
@@ -222,7 +226,7 @@ def make_loss_fn(model, cfg: HIPIEConfig, task: str = "detection"):
             interm_layers = {
                 "classes": interm["pred_logits"][None],
                 "boxes": interm["pred_boxes"][None],
-                "masks": interm["pred_masks"][None],
+                "mask_embeds": interm["pred_mask_embed"][None],
             }
             k_md2 = jax.random.fold_in(k_md, 1)
             with jax.named_scope("crit_maskdino_interm"):
@@ -231,7 +235,7 @@ def make_loss_fn(model, cfg: HIPIEConfig, task: str = "detection"):
                     text_mask=batch.lang_mask, mask_feats=out["mask_feats"],
                     image_sizes=batch.image_sizes, cfg=md_lc,
                     weight_nums=weight_nums, bias_nums=bias_nums,
-                    max_matched=max_matched)
+                    max_matched=max_matched, pixel_feats=md_pixel_feats)
             losses_md.update({f"{k}_interm": v for k, v in losses_interm.items()})
             total = total + apply_weight_dict(losses_md, md_lc)
             metrics.update({f"{k}_maskdino": v for k, v in losses_md.items()

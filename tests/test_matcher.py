@@ -75,3 +75,23 @@ def test_hungarian_vl_match_prefers_close_boxes():
     assign = np.asarray(hungarian_vl_match(prob, pred, gt, pm,
                                            jnp.asarray([True, True])))
     assert assign[0] == 0 and assign[2] == 1 and assign[1] == -1
+
+
+def test_mask_match_costs_embed_equals_dense():
+    """The MaskDINO mask head is linear (mask = emb . F), so evaluating the
+    matching costs from sampled features must equal materializing the dense
+    (Q, H, W) masks first (same rng -> same points)."""
+    from hipie_tpu.losses.matcher import mask_match_costs, mask_match_costs_embed
+
+    rng = np.random.RandomState(3)
+    q, c, h, w, n = 7, 12, 20, 24, 4
+    emb = jnp.asarray(rng.randn(q, c).astype(np.float32))
+    feats = jnp.asarray(rng.randn(h, w, c).astype(np.float32))
+    gt = jnp.asarray((rng.rand(n, h, w) > 0.5).astype(np.float32))
+    dense = jnp.einsum("qc,hwc->qhw", emb, feats)
+
+    key = jax.random.PRNGKey(11)
+    cd = mask_match_costs(key, dense, gt, num_points=512)
+    ce = mask_match_costs_embed(key, emb, feats, gt, num_points=512)
+    np.testing.assert_allclose(np.asarray(ce), np.asarray(cd),
+                               rtol=2e-4, atol=2e-4)

@@ -308,3 +308,56 @@ def test_cdn_max_gt_exceeds_dn_number():
     ga = np.asarray(cdn.gt_assign)[0]
     counts = np.bincount(ga[ga >= 0], minlength=m)
     assert (counts[:m] == 2).all(), counts
+
+
+def test_criterion_mask_embeds_equals_dense():
+    """criterion_pass with 'mask_embeds'+pixel_feats (the MaskDINO train path,
+    dense logits never materialized for all Q) must reproduce the dense
+    'masks' path: same rng -> identical matching costs/assignments and
+    loss values up to float reassociation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hipie_tpu.config import LossConfig
+    from hipie_tpu.losses.criterion import Targets, criterion_pass
+
+    rng = np.random.RandomState(7)
+    L, B, Q, C, H, W, N, Ltxt = 2, 2, 10, 16, 16, 16, 3, 8
+    embeds = jnp.asarray(rng.randn(L, B, Q, C).astype(np.float32))
+    feats = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32) * 0.3)
+    classes = jnp.asarray(rng.randn(L, B, Q, Ltxt).astype(np.float32))
+    boxes = jax.nn.sigmoid(jnp.asarray(rng.randn(L, B, Q, 4).astype(np.float32)))
+    dense = jnp.einsum("lbqc,bhwc->lbqhw", embeds, feats)
+
+    pm = np.zeros((B, N, Ltxt), np.float32)
+    pm[:, np.arange(N), np.arange(N)] = 1.0
+    t = Targets(
+        labels=jnp.zeros((B, N), jnp.int32),
+        boxes=jnp.asarray(np.concatenate(
+            [rng.rand(B, N, 2) * 0.6 + 0.2, rng.rand(B, N, 2) * 0.2 + 0.05],
+            -1).astype(np.float32)),
+        masks=jnp.asarray((rng.rand(B, N, H, W) > 0.5).astype(np.float32)),
+        positive_map=jnp.asarray(pm),
+        is_thing=jnp.ones((B, N), bool),
+        valid=jnp.ones((B, N), bool))
+
+    cfg = LossConfig(num_points=256, oversample_ratio=3.0,
+                     importance_sample_ratio=0.75)
+    common = dict(
+        targets=t, text_mask=jnp.ones((B, Ltxt), jnp.int32),
+        mask_feats=jnp.zeros((B, 4, 4, 8)), image_sizes=jnp.asarray([[H, W]] * B),
+        cfg=cfg, weight_nums=[8], bias_nums=[1], matcher="hungarian",
+        max_matched=6)
+    key = jax.random.PRNGKey(5)
+    out_dense = criterion_pass(
+        key, {"classes": classes, "boxes": boxes, "masks": dense}, **common)
+    out_embed = criterion_pass(
+        key, {"classes": classes, "boxes": boxes, "mask_embeds": embeds},
+        pixel_feats=feats, **common)
+
+    assert set(out_dense) == set(out_embed)
+    for k in out_dense:
+        np.testing.assert_allclose(
+            np.asarray(out_embed[k]), np.asarray(out_dense[k]),
+            rtol=3e-4, atol=3e-4, err_msg=k)

@@ -129,7 +129,11 @@ def main():
             nv = int(np.asarray(t.valid[b]).sum())
             if nv == 0:
                 continue
-            ml = jax.lax.stop_gradient(md["pred_masks"][b])   # (Q, Hm, Wm)
+            # train mode emits mask embeddings; rebuild the dense final-layer
+            # masks (exactly equal: the head is linear in the features).
+            ml = jax.lax.stop_gradient(jnp.einsum(
+                "qc,hwc->qhw", md["pred_mask_embed"][b].astype(jnp.float32),
+                md["mask_features"][b].astype(jnp.float32)))  # (Q, Hm, Wm)
             gm = t.masks[b]
             cls_b = md["pred_logits"][b]
             box_b = md["pred_boxes"][b]

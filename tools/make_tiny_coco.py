@@ -209,11 +209,20 @@ def emit_refcoco(root: str, split: str = "val2017",
             horiz = "left" if cx < 0.45 else ("right" if cx > 0.55 else "middle")
             vert = "top" if cy < 0.45 else ("bottom" if cy > 0.55 else "middle")
             kind = id2name[s["category_id"]]
-            expr = f"the {kind} at the {vert} {horiz}"
+            # several paraphrases per instance (real refcoco has ~3 referring
+            # expressions per object; load_refcoco emits one eval record per
+            # expression, so this triples the grounding-eval breadth).
+            rel_area = m.sum() / float(h * w)
+            size_adj = "big" if rel_area > 0.04 else "small"
+            exprs = [
+                f"the {kind} at the {vert} {horiz}",
+                f"{kind} on the {horiz} side near the {vert}",
+                f"the {size_adj} {kind} near the {vert}",
+            ]
             out_anns.append({
                 "id": aid, "image_id": 100000 + im["id"], "category_id": 1,
                 "bbox": [x0, y0, bw, bh], "area": int(m.sum()),
-                "iscrowd": 0, "expressions": [expr],
+                "iscrowd": 0, "expressions": exprs,
                 "segmentation": rle_encode(m),
             })
             aid += 1

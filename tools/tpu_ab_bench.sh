@@ -5,7 +5,9 @@
 #
 #   bash tools/tpu_ab_bench.sh [iters]
 #
-# Writes one JSON line per variant to /tmp/ab_bench_results.jsonl.
+# Writes one JSON line per variant to /tmp/ab_bench_results.jsonl, then
+# profiles the prod1024 train step (criterion share after the round-3
+# MaskDINO linear-head pointwise evaluation).
 set -u
 cd "$(dirname "$0")/.."
 ITERS="${1:-10}"
@@ -20,9 +22,13 @@ run() {
   echo "{\"variant\": \"$name\", \"result\": ${line:-null}}" | tee -a "$OUT"
 }
 
-# default (flat4_bf16 MSDA + flash ViT) first: it warms the shared weights init
-run baseline_flat4_flash
-run msda_flat_bf16   HIPIE_MSDA_METHOD=flat_bf16
+# default (flat_bf16 MSDA + flash ViT — the measured 4.29 img/s path) first:
+# it warms the shared weights init.
+run baseline_flat_flash
+run msda_flat4_bf16  HIPIE_MSDA_METHOD=flat4_bf16
 run msda_flat2_bf16  HIPIE_MSDA_METHOD=flat2_bf16
 run vit_xla          HIPIE_VIT_ATTN=xla
+
+echo "== prod1024 train-step profile ($(date +%H:%M:%S))"
+timeout 3000 python tools/profile_train_step.py prod1024 2>&1 | tail -20
 echo "done -> $OUT"

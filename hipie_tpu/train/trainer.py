@@ -102,11 +102,18 @@ class Trainer:
             self.storage.put_scalars(data_time=data_time)
 
             if pending_metrics is not None and (it % self.log_period == 0):
-                host = {k: float(v) for k, v in pending_metrics.items()}
+                p_task, p_metrics = pending_metrics
+                host = {k: float(v) for k, v in p_metrics.items()}
+                if p_task is not None and isinstance(self.train_step, dict) \
+                        and len(self.train_step) > 1:
+                    # multi-task runs: per-task total so each task's descent
+                    # is visible in metrics.json (reference train_net.py joint
+                    # recipe logs a merged dict only — this is strictly more).
+                    host[f"total_loss_{p_task}"] = host.get("total_loss", 0.0)
                 self.storage.put_scalars(**host)
                 self.storage.log_console(max_iter, lr=float(lr_fn(it)))
                 self.storage.write_json()
-            pending_metrics = metrics
+            pending_metrics = (task, metrics)
             self.profiler.maybe_stop(it)
 
             if it % cfg.checkpoint_period == 0 or it == max_iter:
@@ -141,7 +148,7 @@ class Trainer:
         # not lose its last window.
         if pending_metrics is not None:
             self.storage.put_scalars(
-                **{k: float(v) for k, v in pending_metrics.items()})
+                **{k: float(v) for k, v in pending_metrics[1].items()})
             self.storage.log_console(max_iter, lr=float(lr_fn(it)))
         self.storage.write_json()
         return self.state

@@ -6,22 +6,36 @@ materializes the (B*heads, 4096, 4096) logits (+rel-pos add, +softmax) in HBM â€
 ~0.5 GB per tensor per block; this kernel never materializes logits.
 
 The decomposed relative-position bias (reference
-projects/HIPIE/hipie/backbone/utils.py add_decomposed_rel_pos,
-vit.py:411-421) is
+projects/HIPIE/hipie/backbone/utils.py add_decomposed_rel_pos, vit.py:411-421)
+is
 
     bias[q, k] = rel_h[q, k // Kw] + rel_w[q, k % Kw]
 
-separable in (k-row, k-col), so the q-contracted coefficients rel_h (N, Kh)
-and rel_w (N, Kw) are tiny compared to the (N, N) bias: the kernel streams
-them per query tile and adds them to the logits with a reshape-broadcast in
-VMEM. (Round-1 formulation folded the bias into QK^T as one-hot lanes â€”
-correct, but it padded the contraction from hd=80 to 208 -> 256 MXU lanes and
-materialized concatenated qcat/kcat copies in HBM; the broadcast-add variant
-measured faster.)
+i.e. LINEAR in one-hot row/col indicators of the key position. Two in-kernel
+formulations exploit that (select with HIPIE_VIT_FLASH=v1|v2, read at trace
+time):
+
+  v1 (default â€” the TPU-measured 4.29 img/s path): fold the bias into the
+     QK^T contraction by augmenting the contraction dimension:
+         qcat = [q * scale, rel_h, rel_w]            (N, hd + Kh + Kw)
+         kcat = [k, onehot(k // Kw), onehot(k % Kw)] (N, hd + Kh + Kw)
+         logits = qcat @ kcat^T == q k^T * scale + bias
+     One matmul; pads the contraction from hd=80 to 208 -> 256 MXU lanes and
+     materializes qcat/kcat copies in HBM.
+
+  v2: keep QK^T at hd=80 lanes and add the bias with two extra small matmuls
+     against iota-generated one-hot expansion matrices built in VMEM:
+         s = q k^T * scale + rel_h @ E_row + rel_w @ E_col
+         E_row[r, k] = [k // Kw == r]   (Kh, N)
+         E_col[c, k] = [k %  Kw == c]   (Kw, N)
+     No qcat/kcat HBM copies. (An earlier v2 used a reshape-broadcast add,
+     s.reshape(tq, Kh, Kw) + ... â€” Mosaic rejects that lane-splitting reshape
+     ("infer-vector-layout: unsupported shape cast"); the one-hot matmuls are
+     the layout-legal equivalent.)
 
 The kernel runs softmax(q k^T * scale + bias) @ v per 256-query tile with the
-full key range resident in VMEM (4096 x 80 bf16 = 0.7 MB) â€” a one-pass flash
-attention with no online-softmax bookkeeping needed.
+full key range resident in VMEM â€” a one-pass flash attention with no
+online-softmax bookkeeping needed.
 
 Forward-only; the public wrapper attaches a custom VJP that redoes the math in
 XLA for the backward (training wraps blocks in remat anyway).
@@ -30,6 +44,7 @@ XLA for the backward (training wraps blocks in remat anyway).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,20 +52,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref):
-    tq = q_ref.shape[1]
+def _kernel_v1(qcat_ref, kcat_ref, v_ref, o_ref):
+    s = jax.lax.dot_general(
+        qcat_ref[0], kcat_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (TQ, N)
+    s = s - jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (TQ, hd)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+def _kernel_v2(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref):
+    n = k_ref.shape[1]
     kh, kw = rh_ref.shape[2], rw_ref.shape[2]
+    dt = k_ref.dtype
     s = jax.lax.dot_general(
         q_ref[0], k_ref[0],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)            # (TQ, N)
-    # decomposed rel-pos bias: bias[q, k] = rel_h[q, k//Kw] + rel_w[q, k%Kw].
-    # A reshape-broadcast add in VMEM â€” cheaper than carrying the bias as
-    # one-hot lanes through the QK^T contraction (the v1 formulation padded
-    # the contraction from hd=80 to 208 -> 256 lanes).
-    s = (s.reshape(tq, kh, kw)
-         + rh_ref[0].astype(jnp.float32)[:, :, None]
-         + rw_ref[0].astype(jnp.float32)[:, None, :]).reshape(tq, kh * kw)
+    # bias[q, k] = rel_h[q, k//Kw] + rel_w[q, k%Kw] via one-hot expansion
+    # matmuls (the lane-splitting reshape-broadcast is layout-illegal).
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (kh, n), 1)
+    erow = (kidx // kw == jax.lax.broadcasted_iota(
+        jnp.int32, (kh, n), 0)).astype(dt)             # (Kh, N)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (kw, n), 1)
+    ecol = (kidx % kw == jax.lax.broadcasted_iota(
+        jnp.int32, (kw, n), 0)).astype(dt)             # (Kw, N)
+    s = s + jax.lax.dot_general(
+        rh_ref[0], erow, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = s + jax.lax.dot_general(
+        rw_ref[0], ecol, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     s = s - jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s)
     l = jnp.sum(p, axis=1, keepdims=True)
@@ -85,6 +123,46 @@ def vit_global_attention(q, k, v, rel_h, rel_w, scale):
 
 
 def _fwd_pallas(q, k, v, rel_h, rel_w, scale, tq: int = 256):
+    if os.environ.get("HIPIE_VIT_FLASH", "v1") == "v2":
+        return _fwd_pallas_v2(q, k, v, rel_h, rel_w, scale, tq)
+    return _fwd_pallas_v1(q, k, v, rel_h, rel_w, scale, tq)
+
+
+def _fwd_pallas_v1(q, k, v, rel_h, rel_w, scale, tq: int = 256):
+    bh, n, hd = q.shape
+    kh, kw = rel_h.shape[2], rel_w.shape[2]
+    assert kh * kw == n, (kh, kw, n)
+    dt = v.dtype
+
+    qcat = jnp.concatenate(
+        [q.astype(jnp.float32) * scale, rel_h, rel_w], axis=-1).astype(dt)
+    karange = jnp.arange(n, dtype=jnp.int32)
+    row1h = (karange[:, None] // kw == jnp.arange(kh)[None, :]).astype(dt)
+    col1h = (karange[:, None] % kw == jnp.arange(kw)[None, :]).astype(dt)
+    kcat = jnp.concatenate(
+        [k.astype(dt), jnp.broadcast_to(row1h, (bh, n, kh)),
+         jnp.broadcast_to(col1h, (bh, n, kw))], axis=-1)
+
+    c = hd + kh + kw
+    grid = (bh, n // tq)
+    return pl.pallas_call(
+        _kernel_v1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tq, c), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, hd), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, hd), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n, hd), dt),
+    )(qcat, kcat, v)
+
+
+def _fwd_pallas_v2(q, k, v, rel_h, rel_w, scale, tq: int = 256):
     bh, n, hd = q.shape
     kh, kw = rel_h.shape[2], rel_w.shape[2]
     assert kh * kw == n, (kh, kw, n)
@@ -93,7 +171,7 @@ def _fwd_pallas(q, k, v, rel_h, rel_w, scale, tq: int = 256):
     qs = (q.astype(jnp.float32) * scale).astype(dt)
     grid = (bh, n // tq)
     return pl.pallas_call(
-        _kernel,
+        _kernel_v2,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tq, hd), lambda b, i: (b, i, 0),

@@ -20,12 +20,14 @@ def _inputs(bh=2, kh=4, kw=4, hd=16, seed=0):
     return q, k, v, rel_h, rel_w
 
 
-def test_flash_matches_xla_interpret():
+@pytest.mark.parametrize("variant", ["v1", "v2"])
+def test_flash_matches_xla_interpret(variant):
     from hipie_tpu.ops.pallas import vit_attention_kernel as K
 
     q, k, v, rel_h, rel_w = _inputs()
     scale = q.shape[-1] ** -0.5
     ref = K._attention_xla(q, k, v, rel_h, rel_w, scale)
+    fwd = K._fwd_pallas_v1 if variant == "v1" else K._fwd_pallas_v2
 
     # run the pallas_call in interpreter mode on CPU
     import jax.experimental.pallas as pl
@@ -35,7 +37,7 @@ def test_flash_matches_xla_interpret():
         return orig(*a, **kw)
     pl.pallas_call = patched
     try:
-        got = K._fwd_pallas(q, k, v, rel_h, rel_w, scale, tq=8)
+        got = fwd(q, k, v, rel_h, rel_w, scale, tq=8)
     finally:
         pl.pallas_call = orig
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
@@ -60,19 +62,22 @@ def test_flash_bwd_uses_xla_path():
 
 
 @pytest.mark.tpu
-def test_flash_matches_xla_on_tpu_real_shape():
+@pytest.mark.parametrize("variant", ["v1", "v2"])
+def test_flash_matches_xla_on_tpu_real_shape(variant):
     """Mosaic-compiled flash kernel at the REAL ViT-H global-block geometry
     (64x64 = 4096 tokens, head_dim 80) vs the XLA path (VERDICT r2 weak #2:
-    v2 was interpret-mode-validated only)."""
+    the round-2 kernel was interpret-mode-validated only and failed Mosaic
+    layout inference on real hardware — this test compiles both variants)."""
     if jax.default_backend() != "tpu":
         pytest.skip("needs TPU (HIPIE_TESTS_TPU=1)")
     from hipie_tpu.ops.pallas import vit_attention_kernel as K
 
     q, k, v, rel_h, rel_w = _inputs(bh=4, kh=64, kw=64, hd=80, seed=3)
     scale = q.shape[-1] ** -0.5
+    fwd = K._fwd_pallas_v1 if variant == "v1" else K._fwd_pallas_v2
     ref = jax.jit(K._attention_xla, static_argnums=5)(
         q, k, v, rel_h, rel_w, scale)
-    got = jax.jit(K._fwd_pallas, static_argnums=(5, 6))(
+    got = jax.jit(fwd, static_argnums=(5, 6))(
         q, k, v, rel_h, rel_w, scale, 256)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)

@@ -27,6 +27,7 @@ run() {
 run baseline_flat_flash
 run msda_flat4_bf16  HIPIE_MSDA_METHOD=flat4_bf16
 run msda_flat2_bf16  HIPIE_MSDA_METHOD=flat2_bf16
+run vit_flash_v2     HIPIE_VIT_FLASH=v2
 run vit_xla          HIPIE_VIT_ATTN=xla
 
 echo "== prod1024 train-step profile ($(date +%H:%M:%S))"

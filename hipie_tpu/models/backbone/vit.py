@@ -190,7 +190,11 @@ class ViTBlock(nn.Module):
         rng = self.make_rng("dropout")
         shape = (y.shape[0],) + (1,) * (y.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)
-        return y * mask.astype(y.dtype) / jnp.maximum(keep, 1e-6)
+        # compute the keep-rescale in f32 then cast: dividing y (bf16) by the
+        # f32 traced `keep` would promote the residual to f32 and break the
+        # scan carry dtype (bf16 in / f32 out).
+        scale = (mask.astype(jnp.float32) / jnp.maximum(keep, 1e-6)).astype(y.dtype)
+        return y * scale
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, drop_path_rate=None):

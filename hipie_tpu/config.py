@@ -254,6 +254,10 @@ class SolverConfig:
     checkpoint_period: int = 1000
     ims_per_batch: int = 16
     amp: bool = True                  # bf16 compute on TPU
+    # Adam first-moment dtype ("bfloat16" halves optimizer HBM for the
+    # momentum; second moment stays f32). Beyond-reference memory knob used
+    # by the single-chip ViT-H 1024^2 train-step fit.
+    mu_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -720,23 +720,36 @@ def _msda_train_bwd(spatial_shapes, method, res, gout):
                + (jnp.clip(x0i, -1, w - 1) + 1))               # (B, M, Q, P)
         g = jax.vmap(jax.vmap(
             lambda v, i: jnp.take(v, i.reshape(-1), axis=0)))(quad, idx)
-        g = g.reshape(b, m, q, p, 4, d).astype(f32)
-        v00, v01 = g[..., 0, :], g[..., 1, :]
-        v10, v11 = g[..., 2, :], g[..., 3, :]
+        g = g.reshape(b, m, q, p, 4 * d)
+        # All three scalar-per-(q,p) grads are row-dots over the PACKED corner
+        # lanes: grad[.] = sum_{c,j} coef_c * g[c*d+j] * gout[j]. Keeping the
+        # (4, d) corner axis fused in the 4d=128 lane dim matters for memory:
+        # splitting it (the old reshape to (..., 4, d) + corner slices) forced
+        # XLA into T(4,128) layouts with 4x pad expansion — 2.7 GB of HLO temps
+        # at encoder scale, the allocation that OOM'd the ViT-H 1024^2 train
+        # step on one 16 GB chip.
+        gg = g.astype(f32) * jnp.concatenate(
+            [gout_t] * 4, axis=-1)[:, :, :, None, :]          # (B,M,Q,P,4d)
+        # Reduce gg ONCE to per-corner partials s[..., c] = sum_j gg[c*d + j]
+        # (a single (4d, 4) one-hot matmul consumes the only big temp); every
+        # scalar grad is then a tiny per-corner dot with its coefficients.
+        e_t = (jnp.arange(4 * d)[:, None] // d
+               == jnp.arange(4)[None, :]).astype(f32)         # (4d, 4)
+        s_c = jax.lax.dot_general(
+            gg, e_t, (((4,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST)              # (B,M,Q,P,4)
 
         cw = jnp.stack([(1 - ly) * (1 - lx), (1 - ly) * lx,
                         ly * (1 - lx), ly * lx], axis=-1)      # (B,M,Q,P,4)
         cw = cw * in_range[..., None]
-        sampled = jnp.einsum("bmqpcd,bmqpc->bmqpd", g, cw)
-        grad_w_parts.append(
-            jnp.einsum("bmqpd,bmqd->bmqp", sampled, gout_t))
-        dx = (1 - ly)[..., None] * (v01 - v00) + ly[..., None] * (v11 - v10)
-        dy = (1 - lx)[..., None] * (v10 - v00) + lx[..., None] * (v11 - v01)
+        grad_w_parts.append(jnp.sum(s_c * cw, axis=-1))
+        one = jnp.ones_like(lx)
+        acoef = jnp.stack([-(one - ly), one - ly, -ly, ly], axis=-1)
+        bcoef = jnp.stack([-(one - lx), -lx, one - lx, lx], axis=-1)
         gm = aw * in_range
-        grad_x_parts.append(
-            jnp.einsum("bmqpd,bmqd->bmqp", dx, gout_t) * gm * w)
-        grad_y_parts.append(
-            jnp.einsum("bmqpd,bmqd->bmqp", dy, gout_t) * gm * h)
+        grad_x_parts.append(jnp.sum(s_c * acoef, axis=-1) * gm * w)
+        grad_y_parts.append(jnp.sum(s_c * bcoef, axis=-1) * gm * h)
 
         # grad(value): chunked separable splat over the q*p points
         n = q * p

@@ -40,9 +40,20 @@ def _kernel(g_ref, cw_ref, o_ref, *, k: int, d: int):
     lane = jax.lax.broadcasted_iota(jnp.int32, (4, 4 * d), 1) // d
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (4, 4 * d), 0)
     e = (lane == c_iota).astype(g_ref.dtype)
+    # f32 path: precision=HIGHEST — the MXU's default (single bf16 pass)
+    # would truncate the f32 corner weights to ~3 decimal digits before the
+    # one-hot expand (measured 1.8e-2 abs error at encoder scale on real TPU;
+    # interpret mode computed in full f32 and hid it). With the exact bf16x3
+    # decomposition the 0/1 expand is exact; the matmul is tiny (TR,4)@(4,4d).
+    # bf16 path: default precision — Mosaic rejects fp32 contract precision
+    # on bf16 operands ("Bad lhs type"), and bf16 inputs are already exact
+    # under the single pass.
+    prec = (jax.lax.Precision.HIGHEST
+            if cw_ref.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
     cwmat = jax.lax.dot_general(
         cw_ref[:], e, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # (TR, 4d) f32 acc
+        preferred_element_type=jnp.float32,
+        precision=prec)                                   # (TR, 4d) f32 acc
     gw = g_ref[:].astype(jnp.float32) * cwmat
     o_ref[:] = jnp.sum(gw.reshape(tq, k, 4 * d), axis=1)
 

@@ -90,9 +90,12 @@ def lr_schedule(cfg: SolverConfig, base: float):
 
 
 def build_optimizer(cfg: SolverConfig, params) -> optax.GradientTransformation:
+    mu_dtype = getattr(cfg, "mu_dtype", "float32")
+
     def adamw(base_lr):
         return optax.chain(
-            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8,
+                                mu_dtype=mu_dtype),
             optax.add_decayed_weights(cfg.weight_decay),
             optax.scale_by_learning_rate(lr_schedule(cfg, base_lr)),
         )

@@ -115,7 +115,11 @@ if __name__ == "__main__":
                      "data.max_text_len": 128, "model.text.max_query_len": 128,
                      "model.backbone.name": "vit_huge",
                      "model.backbone.vit_remat": True,
-                     "model.transformer.remat": True},
+                     "model.transformer.remat": True,
+                     # bf16 first moment: the ~740M-param state (f32 params
+                     # + m + v = 8.9G) barely leaves room for the step's HLO
+                     # temps on one 16G chip; bf16 m frees ~1.5G.
+                     "solver.mu_dtype": "bfloat16"},
     }
     for tag in which:
         try:

@@ -16,24 +16,38 @@ import os
 
 
 def _host_cpu_key() -> str:
-    """Fingerprint of the host CPU's feature set.
+    """Fingerprint of the host CPU's feature set AND the compile-affecting env.
 
     /tmp (and so the cache dir) survives across rounds on this platform, but
     the host VM does NOT necessarily: XLA:CPU AOT results compiled for one
-    machine's feature set (e.g. +amx, +prefer-no-scatter) load on a host
-    without them with an 'execution errors such as SIGILL' warning — observed
-    in the round-2 bench/joint logs. Keying the CPU cache by the host feature
-    set makes such stale entries invisible instead of dangerous.
+    machine's feature set load on a host without them with an 'execution
+    errors such as SIGILL' warning — observed in the round-2 bench/joint logs.
+
+    The cpuinfo flags line alone proved insufficient: the SAME machine
+    produces incompatible AOT results under different XLA_FLAGS (runs with
+    the platform sitecustomize active compile with +prefer-no-gather /
+    +prefer-no-scatter; runs without it don't — the loader treats those
+    tuning prefs as machine features and warns about SIGILL). Include the
+    XLA-relevant env in the key so each compile configuration gets its own
+    cache subdir.
     """
+    parts = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
                 if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+                    parts.append(line)
+                    break
     except OSError:
+        import platform
+        parts.append(platform.processor())
+    parts.append(os.environ.get("XLA_FLAGS", ""))
+    try:
+        import jaxlib
+        parts.append(getattr(jaxlib, "__version__", ""))
+    except Exception:
         pass
-    import platform
-    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:10]
 
 
 def enable_compilation_cache(directory: str | None = None) -> None:

@@ -361,3 +361,39 @@ def test_criterion_mask_embeds_equals_dense():
         np.testing.assert_allclose(
             np.asarray(out_embed[k]), np.asarray(out_dense[k]),
             rtol=3e-4, atol=3e-4, err_msg=k)
+
+
+def test_compile_cache_key_isolates_xla_configs(monkeypatch):
+    """Round-3 regression: XLA:CPU AOT results compiled under different
+    XLA_FLAGS (e.g. the platform sitecustomize's +prefer-no-gather) or a
+    different jaxlib must land in different cache subdirs — a shared dir
+    loaded cross-config entries with 'could lead to SIGILL' warnings."""
+    from hipie_tpu.utils.compile_cache import _host_cpu_key
+
+    monkeypatch.delenv("XLA_FLAGS", raising=False)
+    a = _host_cpu_key()
+    assert a == _host_cpu_key()  # deterministic
+    monkeypatch.setenv("XLA_FLAGS", "--xla_cpu_foo=1")
+    b = _host_cpu_key()
+    assert a != b
+
+
+def test_optimizer_mu_dtype_bf16():
+    """solver.mu_dtype=bfloat16 stores the Adam first moment in bf16 (the
+    single-chip ViT-H fit knob) while updates and params stay f32."""
+    import jax
+    import jax.numpy as jnp
+
+    from hipie_tpu.config import apply_overrides, tiny_test_config
+    from hipie_tpu.train.optimizer import build_optimizer
+
+    cfg = apply_overrides(tiny_test_config(), {"solver.mu_dtype": "bfloat16"})
+    params = {"dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.zeros((4,))}}
+    tx = build_optimizer(cfg.solver, params)
+    st = tx.init(params)
+    dtypes = {str(x.dtype) for x in jax.tree_util.tree_leaves(st)
+              if hasattr(x, "dtype") and x.ndim > 0}
+    assert "bfloat16" in dtypes and "float32" in dtypes
+    g = jax.tree.map(jnp.ones_like, params)
+    upd, _ = tx.update(g, st, params)
+    assert jax.tree_util.tree_leaves(upd)[0].dtype == jnp.float32

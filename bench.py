@@ -65,11 +65,18 @@ def main():
     # device tunnel is unreliable (result caching) — see PERFORMANCE.md.
     # distinct inputs per RUN as well as per iteration: the tunneled device
     # caches (program, input) results across processes (PERFORMANCE.md)
+    #
+    # Inputs ship as uint8 (BENCH_INPUT=f32 to revert): pixels are uint8 at
+    # the source and the model normalizes on device (HIPIEModel.normalize
+    # casts), so uint8 is the production predictor input path — and it cuts
+    # the per-image host->device tunnel transfer from 12.6 MB to 3.1 MB.
+    in_dtype = np.float32 if os.environ.get("BENCH_INPUT") == "f32" else np.uint8
     rng = np.random.RandomState(int(time.time()) % 100000)
     inputs = [
-        jnp.asarray(rng.uniform(0, 255, (batch, size, size, 3)).astype(np.float32))
+        jnp.asarray(rng.uniform(0, 255, (batch, size, size, 3)).astype(in_dtype))
         for _ in range(iters)
     ]
+    images = images.astype(in_dtype)
 
     def force(res):
         # On the tunneled platform block_until_ready may not synchronize

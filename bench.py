@@ -55,9 +55,20 @@ def main():
     maps = ClassMaps(jnp.asarray(mw), jnp.asarray(tm),
                      jnp.asarray(np.arange(C) < 80))
 
+    # The 133-class COCO prompt is fixed across images: encode it ONCE and
+    # replicate (BASELINE.json: "class-prompt text embeddings precomputed and
+    # replicated"). BENCH_TEXT=inline reverts to per-image BERT encoding.
+    if os.environ.get("BENCH_TEXT") == "inline":
+        hidden = None
+    else:
+        hidden = jax.jit(
+            lambda p, i, a: model.apply(p, i, a, method=HIPIEModel.encode_text)
+        )(params, ids, am)
+
     @jax.jit
     def fn(params, images, pad, ids, am, sizes):
-        out = model.apply(params, images, pad, ids, am, sizes)
+        out = model.apply(params, images, pad, ids, am, sizes,
+                          lang_hidden=hidden)
         return hipie_inference(out, maps, cfg.test, cfg.model,
                                pad_mask_s4=pad[0][::4, ::4])
 

@@ -78,10 +78,16 @@ class HIPIEModel(nn.Module):
         dn_labels=None, dn_valid=None, dn_refs_unact=None, self_attn_mask=None,
         bg_queries_lang=None, bg_lang_weights=None,
         maskdino_dn_refs=None, maskdino_dn_valid=None, maskdino_attn_mask=None,
+        lang_hidden=None,
     ) -> Dict[str, Any]:
         x = self.normalize(images)
         x = jnp.where(pad_mask[..., None], 0.0, x)
-        lang_hidden = self.encode_text(input_ids, lang_attn_mask, task)
+        if lang_hidden is None:
+            # Class-prompt embeddings are input-independent for a fixed label
+            # set: callers serving one vocabulary precompute them once via
+            # encode_text and pass lang_hidden (the BASELINE.json "text
+            # embeddings precomputed and replicated" deployment shape).
+            lang_hidden = self.encode_text(input_ids, lang_attn_mask, task)
         out = self.detector(
             x, pad_mask, lang_hidden, lang_attn_mask, image_sizes, task=task,
             dn_labels=dn_labels, dn_valid=dn_valid, dn_refs_unact=dn_refs_unact,

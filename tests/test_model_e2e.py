@@ -110,3 +110,18 @@ def test_decoupled_tgt_grounding_uses_language():
     assert not np.allclose(np.asarray(out_det["pred_logits"]),
                            np.asarray(out_gnd["pred_logits"]), atol=1e-4)
     assert np.isfinite(np.asarray(out_gnd["pred_logits"])).all()
+
+
+def test_precomputed_lang_hidden_equals_inline(tiny_model):
+    """Passing precomputed class-prompt embeddings (the BASELINE.json
+    'precomputed and replicated' deployment shape) must be bit-identical to
+    encoding the same ids inline."""
+    cfg, model, params, (images, pad, ids, am, sizes) = tiny_model
+    inline = model.apply(params, images, pad, ids, am, sizes)
+    hidden = model.apply(params, ids, am, method=HIPIEModel.encode_text)
+    pre = model.apply(params, images, pad, ids, am, sizes, lang_hidden=hidden)
+    leaves_a = jax.tree_util.tree_leaves(inline)
+    leaves_b = jax.tree_util.tree_leaves(pre)
+    assert len(leaves_a) == len(leaves_b)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -524,6 +524,89 @@ def _flat_quad_attn_v4(
     return out.reshape(b, q, m * d)
 
 
+def _flat_quad_attn_v5(
+    value: jnp.ndarray,        # (B, S, M, D) any float dtype
+    spatial_shapes: Shapes,
+    loc: jnp.ndarray,          # (B, Q, M, L, P, 2) fp32
+    weights: jnp.ndarray,      # (B, Q, M, L, P) fp32
+    table_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """v4's natural (b, q, m, l, p) row order — no Q<->M relayout copies and
+    no final head transpose — combined with v1's XLA MXU reduce (one-hot E
+    corner-expand + 0/1 S segment-sum matmuls) instead of v4's Pallas kernel
+    (the round-3 A/B showed the Pallas reduce, not the row order, was what
+    made flat4 slower than the v1 default). bf16 tables only.
+
+    Returns (B, Q, M * D) fp32 — already head-concatenated.
+    """
+    b, s, m, d = value.shape
+    q, _, L, p, _ = loc.shape[1:]
+    f32 = jnp.float32
+
+    value_t = jnp.transpose(value.astype(table_dtype), (0, 2, 1, 3))
+    tables, idx_parts, cw_parts = [], [], []
+    start, row_off = 0, 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v_l = jax.lax.slice_in_dim(value_t, start, start + h * w, axis=2)
+        vp = jnp.pad(v_l.reshape(b, m, h, w, d),
+                     ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+        quad = jnp.concatenate(
+            [vp[:, :, :-1, :-1], vp[:, :, :-1, 1:],
+             vp[:, :, 1:, :-1], vp[:, :, 1:, 1:]], axis=-1)
+        tables.append(quad.reshape(b, m, (h + 1) * (w + 1), 4 * d))
+
+        x = loc[:, :, :, lvl, :, 0] * w - 0.5            # (B, Q, M, P)
+        y = loc[:, :, :, lvl, :, 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        lx = x - x0
+        ly = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        in_range = (x0i >= -1) & (x0i <= w - 1) & (y0i >= -1) & (y0i <= h - 1)
+        idx = ((jnp.clip(y0i, -1, h - 1) + 1) * (w + 1)
+               + (jnp.clip(x0i, -1, w - 1) + 1)) + row_off
+        idx_parts.append(idx)                            # (B, Q, M, P)
+        cw = jnp.stack([(1 - ly) * (1 - lx), (1 - ly) * lx,
+                        ly * (1 - lx), ly * lx], axis=-1)
+        cw = cw * (in_range.astype(f32) * weights[:, :, :, lvl])[..., None]
+        cw_parts.append(cw)                              # (B, Q, M, P, 4)
+        start += h * w
+        row_off += (h + 1) * (w + 1)
+
+    table = jnp.concatenate(tables, axis=2)              # (B, M, R, 4D)
+    idx = jnp.stack(idx_parts, axis=3)                   # (B, Q, M, L, P)
+    cw = jnp.stack(cw_parts, axis=3)                     # (B, Q, M, L, P, 4)
+
+    r = table.shape[2]
+    off = (jnp.arange(b * m, dtype=jnp.int32) * r).reshape(b, 1, m, 1, 1)
+    k = L * p
+    n_rows = b * q * m * k
+    flat_idx = (idx + off).reshape(n_rows)
+    cw = cw.reshape(n_rows, 4).astype(table.dtype)
+
+    cb = k * max(1, min(4096 // k, (n_rows + k - 1) // k))
+    pad = (-n_rows) % cb
+    if pad:
+        flat_idx = jnp.pad(flat_idx, (0, pad))
+        cw = jnp.pad(cw, ((0, pad), (0, 0)))
+
+    # NOTE: keep take's default (fill) OOB mode — see the comment in v4.
+    g = jnp.take(table.reshape(b * m * r, 4 * d), flat_idx, axis=0)
+
+    lane = jnp.arange(4 * d) // d
+    e_mat = (lane[None, :] == jnp.arange(4)[:, None]).astype(table.dtype)
+    s_mat = (jnp.arange(cb)[None, :] // k
+             == jnp.arange(cb // k)[:, None]).astype(table.dtype)
+    cwmat = jax.lax.dot_general(cw, e_mat, (((1,), (0,)), ((), ())),
+                                preferred_element_type=table.dtype)
+    gw = (g * cwmat).reshape(-1, cb, 4 * d)
+    out = jnp.einsum("bkf,qk->bqf", gw, s_mat,
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(-1, 4, d)[:b * q * m].astype(f32)
+    return jnp.sum(out, axis=1).reshape(b, q, m * d)
+
+
 def ms_deform_attn_jnp(
     value: jnp.ndarray,                 # (B, S, M, D)
     spatial_shapes: Shapes,             # static ((H0,W0), (H1,W1), ...)
@@ -533,7 +616,7 @@ def ms_deform_attn_jnp(
 ) -> jnp.ndarray:
     """Pure-XLA multi-scale deformable attention. Returns (B, Q, M*D)."""
     orig_dtype = value.dtype
-    if not method.startswith(("flat2", "flat3", "flat4")):
+    if not method.startswith(("flat2", "flat3", "flat4", "flat5")):
         # flat2/3/4 cast value straight to the table dtype (no fp32 HBM round
         # trip); all other paths sample in fp32 like the reference kernel.
         value = value.astype(jnp.float32)
@@ -548,6 +631,10 @@ def ms_deform_attn_jnp(
 
     if method.startswith("flat"):
         td = jnp.bfloat16 if method.endswith("bf16") else jnp.float32
+        if method.startswith("flat5"):
+            out = _flat_quad_attn_v5(value, spatial_shapes,
+                                     sampling_locations, attention_weights, td)
+            return out.astype(orig_dtype)      # already (B, Q, M*D)
         if method.startswith("flat4"):
             out = _flat_quad_attn_v4(value, spatial_shapes,
                                      sampling_locations, attention_weights, td)

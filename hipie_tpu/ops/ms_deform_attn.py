@@ -535,7 +535,8 @@ def _flat_quad_attn_v5(
     no final head transpose — combined with v1's XLA MXU reduce (one-hot E
     corner-expand + 0/1 S segment-sum matmuls) instead of v4's Pallas kernel
     (the round-3 A/B showed the Pallas reduce, not the row order, was what
-    made flat4 slower than the v1 default). bf16 tables only.
+    made flat4 slower than the v1 default). f32 tables take the exact
+    multiply+sum reduce (like v1); the MXU reduce is bf16-tables-only.
 
     Returns (B, Q, M * D) fp32 — already head-concatenated.
     """
@@ -594,17 +595,26 @@ def _flat_quad_attn_v5(
     # NOTE: keep take's default (fill) OOB mode — see the comment in v4.
     g = jnp.take(table.reshape(b * m * r, 4 * d), flat_idx, axis=0)
 
-    lane = jnp.arange(4 * d) // d
-    e_mat = (lane[None, :] == jnp.arange(4)[:, None]).astype(table.dtype)
-    s_mat = (jnp.arange(cb)[None, :] // k
-             == jnp.arange(cb // k)[:, None]).astype(table.dtype)
-    cwmat = jax.lax.dot_general(cw, e_mat, (((1,), (0,)), ((), ())),
-                                preferred_element_type=table.dtype)
-    gw = (g * cwmat).reshape(-1, cb, 4 * d)
-    out = jnp.einsum("bkf,qk->bqf", gw, s_mat,
-                     preferred_element_type=jnp.float32)
-    out = out.reshape(-1, 4, d)[:b * q * m].astype(f32)
-    return jnp.sum(out, axis=1).reshape(b, q, m * d)
+    if table.dtype == jnp.bfloat16:
+        lane = jnp.arange(4 * d) // d
+        e_mat = (lane[None, :] == jnp.arange(4)[:, None]).astype(table.dtype)
+        s_mat = (jnp.arange(cb)[None, :] // k
+                 == jnp.arange(cb // k)[:, None]).astype(table.dtype)
+        cwmat = jax.lax.dot_general(cw, e_mat, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=table.dtype)
+        gw = (g * cwmat).reshape(-1, cb, 4 * d)
+        out = jnp.einsum("bkf,qk->bqf", gw, s_mat,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(-1, 4, d)[:b * q * m].astype(f32)
+        return jnp.sum(out, axis=1).reshape(b, q, m * d)
+
+    # fp32 path (strict numerics), mirroring v1: plain multiply + fp32 reduce
+    # — exact; the MXU reduce would truncate f32 operands to bf16 at default
+    # matmul precision (ADVICE r03: plain 'flat5' silently degraded on TPU).
+    g = g.reshape(-1, k, 4, d)[:b * q * m]
+    cwr = cw.reshape(-1, k, 4, 1)[:b * q * m]
+    out = jnp.sum(g * cwr, axis=(1, 2))
+    return out.reshape(b, q, m * d)
 
 
 def ms_deform_attn_jnp(

@@ -212,6 +212,78 @@ def inv_vit(tree: Dict[str, Any], prefix: str, sd: SD) -> None:
             inv_linear(blk["mlp_fc2"], f"{bp}.mlp.fc2", sd)
 
 
+_MERGE_PERM = [0, 2, 1, 3]   # involution; see converter.convert_swin
+
+
+def inv_swin(tree: Dict[str, Any], prefix: str, sd: SD) -> None:
+    """Inverse of converter.convert_swin (timm/d2 Swin naming)."""
+    inv_conv(tree["patch_embed"], f"{prefix}patch_embed.proj", sd)
+    inv_norm(tree["patch_norm"], f"{prefix}patch_embed.norm", sd)
+    stages: Dict[int, int] = {}
+    for k in tree:
+        if k.startswith("stage"):
+            s, i = k[len("stage"):].split("_block")
+            stages[int(s)] = max(stages.get(int(s), 0), int(i) + 1)
+    for s in sorted(stages):
+        for i in range(stages[s]):
+            blk = tree[f"stage{s}_block{i}"]
+            p = f"{prefix}layers.{s}.blocks.{i}"
+            inv_norm(blk["norm1"], f"{p}.norm1", sd)
+            inv_norm(blk["norm2"], f"{p}.norm2", sd)
+            inv_linear(blk["attn"]["qkv"], f"{p}.attn.qkv", sd)
+            inv_linear(blk["attn"]["proj"], f"{p}.attn.proj", sd)
+            sd[f"{p}.attn.relative_position_bias_table"] = _np(
+                blk["attn"]["relative_position_bias_table"])
+            inv_linear(blk["mlp_fc1"], f"{p}.mlp.fc1", sd)
+            inv_linear(blk["mlp_fc2"], f"{p}.mlp.fc2", sd)
+        if f"merge_norm{s}" in tree:
+            mn = tree[f"merge_norm{s}"]
+            c = _np(mn["scale"]).shape[0] // 4
+
+            def unperm(v):
+                v = _np(v)
+                return np.concatenate(
+                    [v[k * c:(k + 1) * c] for k in _MERGE_PERM])
+
+            dp = f"{prefix}layers.{s}.downsample"
+            sd[f"{dp}.norm.weight"] = unperm(mn["scale"])
+            sd[f"{dp}.norm.bias"] = unperm(mn["bias"])
+            kern = _np(tree[f"merge_reduce{s}"]["kernel"])     # (4c, 2c)
+            kern = np.concatenate(
+                [kern[k * c:(k + 1) * c] for k in _MERGE_PERM], axis=0)
+            sd[f"{dp}.reduction.weight"] = kern.T              # torch (out,in)
+    for s in sorted(stages):
+        if f"out_norm{s}" in tree:
+            inv_norm(tree[f"out_norm{s}"], f"{prefix}norm{s}", sd)
+
+
+def inv_convnext(tree: Dict[str, Any], prefix: str, sd: SD) -> None:
+    """Inverse of converter.convert_convnext (facebook ConvNeXt naming)."""
+    inv_conv(tree["stem_conv"], f"{prefix}downsample_layers.0.0", sd)
+    inv_norm(tree["stem_norm"], f"{prefix}downsample_layers.0.1", sd)
+    stages: Dict[int, int] = {}
+    for k in tree:
+        if k.startswith("stage"):
+            s, i = k[len("stage"):].split("_block")
+            stages[int(s)] = max(stages.get(int(s), 0), int(i) + 1)
+    for s in sorted(stages):
+        if f"down_norm{s}" in tree:
+            inv_norm(tree[f"down_norm{s}"],
+                     f"{prefix}downsample_layers.{s}.0", sd)
+            inv_conv(tree[f"down_conv{s}"],
+                     f"{prefix}downsample_layers.{s}.1", sd)
+        for i in range(stages[s]):
+            blk = tree[f"stage{s}_block{i}"]
+            p = f"{prefix}stages.{s}.{i}"
+            inv_conv(blk["dwconv"], f"{p}.dwconv", sd)
+            inv_norm(blk["norm"], f"{p}.norm", sd)
+            inv_linear(blk["pwconv1"], f"{p}.pwconv1", sd)
+            inv_linear(blk["pwconv2"], f"{p}.pwconv2", sd)
+            sd[f"{p}.gamma"] = _np(blk["gamma"])
+        if f"out_norm{s}" in tree:
+            inv_norm(tree[f"out_norm{s}"], f"{prefix}norm{s}", sd)
+
+
 def export_hipie_checkpoint(params: Dict[str, Any], cfg) -> SD:
     """Full hipie_tpu param tree -> reference-named torch-layout state_dict.
 
@@ -236,10 +308,13 @@ def export_hipie_checkpoint(params: Dict[str, Any], cfg) -> SD:
             inv_d2_resnet(bt, bb, sd)
         elif "patch_embed" in bt and "pos_embed" in bt:
             inv_vit(bt, bb, sd)
+        elif "patch_norm" in bt:
+            inv_swin(bt, bb, sd)
+        elif "stem_conv" in bt:
+            inv_convnext(bt, bb, sd)
         else:
             raise NotImplementedError(
-                "export supports resnet/vit backbones; swin/convnext export "
-                "not implemented (their converters are tested separately)")
+                f"unrecognized backbone param tree: {sorted(bt)[:5]}")
 
     for i in range(tc.num_feature_levels):
         if f"input_proj_{i}" in detr:

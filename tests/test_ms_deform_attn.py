@@ -236,7 +236,7 @@ def test_pallas_segment_sum_mosaic():
 
 
 @pytest.mark.tpu
-@pytest.mark.parametrize("method", ["flat4", "flat4_bf16", "flat5_bf16"])
+@pytest.mark.parametrize("method", ["flat4", "flat4_bf16", "flat5", "flat5_bf16"])
 def test_flat4_matches_naive_on_tpu(method):
     """Default-dispatch formulation on the real chip (Mosaic reduce path)."""
     if jax.default_backend() != "tpu":

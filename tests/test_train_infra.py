@@ -378,6 +378,26 @@ def test_compile_cache_key_isolates_xla_configs(monkeypatch):
     assert a != b
 
 
+def test_compile_cache_isolates_cpu_set_via_jax_config(monkeypatch, tmp_path):
+    """Round-3 regression (VERDICT Weak #1): the CPU-entry isolation must fire
+    when the platform is selected via jax.config.update("jax_platforms","cpu")
+    even while the env var says something else (this environment exports
+    JAX_PLATFORMS=axon; the dryrun switches platform through jax.config).
+    The conftest already ran jax.config.update("jax_platforms", "cpu")."""
+    import jax
+
+    from hipie_tpu.utils.compile_cache import enable_compilation_cache
+
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")  # the hole: env var non-cpu
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        enable_compilation_cache(str(tmp_path / "cache"))
+        d = jax.config.jax_compilation_cache_dir
+        assert d is not None and "/cpu-" in d, d
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
+
+
 def test_optimizer_mu_dtype_bf16():
     """solver.mu_dtype=bfloat16 stores the Adam first moment in bf16 (the
     single-chip ViT-H fit knob) while updates and params stay f32."""

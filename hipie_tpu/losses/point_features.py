@@ -62,11 +62,21 @@ def uncertain_point_coords(
     num_points: int,
     oversample_ratio: float = 3.0,
     importance_sample_ratio: float = 0.75,
+    exact_topk: bool = True,
 ) -> jnp.ndarray:
     """Uncertainty-oversampled random point coords (N, P, 2) in [0, 1].
 
     reference: point_features.py get_uncertain_point_coords_with_randomness with
     uncertainty = -|logit| (calculate_uncertainty in deformable_detr.py).
+
+    `exact_topk=False` opts into the cheaper ranking phase: lax.approx_max_k
+    (TPU PartialReduce, ~0.95 recall, linear time vs the full VPU sort that
+    lax.top_k lowers to when n_unc ~ n/4) over a bf16-sampled table (the 3x
+    oversampled gather is HBM-bandwidth-bound; bf16 halves its bytes). The
+    selection only steers a Monte-Carlo loss estimator, so the approximation
+    is semantically fine — but a round-2 TPU measurement found approx_max_k
+    NOT faster at smoke shapes (PERFORMANCE.md "measured out"), so it stays
+    opt-in until a prod-scale A/B proves it.
     """
     n = mask_logits.shape[0]
     k1, k2 = jax.random.split(rng)
@@ -76,9 +86,16 @@ def uncertain_point_coords(
     n_rand = num_points - n_unc
     if n_unc == 0:
         return jax.random.uniform(k2, (n, num_points, 2))
-    logits = point_sample(mask_logits, coords)
-    uncertainty = -jnp.abs(logits)
-    _, idx = jax.lax.top_k(uncertainty, n_unc)
+    if exact_topk:          # full-parity mode: f32 ranking + exact sort
+        logits = point_sample(mask_logits, coords)
+        _, idx = jax.lax.top_k(-jnp.abs(logits), n_unc)
+    else:
+        # stop-grad ranking phase: bf16 table halves the bytes of this
+        # gather — the largest in the criterion (3x oversampled) — and
+        # |logit| ranking is insensitive to bf16 quantization (the loss
+        # phase re-samples in f32).
+        logits = point_sample(mask_logits.astype(jnp.bfloat16), coords)
+        _, idx = jax.lax.approx_max_k(-jnp.abs(logits), n_unc)
     # row gather (take_along_axis over a 2-lane array is a slow lane gather)
     rows = (idx + (jnp.arange(n, dtype=jnp.int32) * n_sampled)[:, None])
     picked = jnp.take(coords.reshape(n * n_sampled, 2),

@@ -112,3 +112,23 @@ def test_custom_vjp_matches_torch_grads():
                                          jnp.asarray(coords))
     np.testing.assert_allclose(np.asarray(gm), t_gmask, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gc), t_gcoord, rtol=1e-4, atol=1e-3)
+
+
+def test_uncertain_coords_approx_topk_high_recall():
+    """Opt-in approx_max_k selection must overlap the exact-sort selection
+    heavily (it steers the same Monte-Carlo estimator; exact_topk=True is the
+    parity escape hatch)."""
+    rng = np.random.RandomState(7)
+    ml = jnp.asarray(rng.randn(2, 32, 32).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    ca = uncertain_point_coords(key, ml, 256, exact_topk=False)
+    ce = uncertain_point_coords(key, ml, 256)
+    assert ca.shape == ce.shape == (2, 256, 2)
+    # the trailing 25% random-coord block uses the same key: exactly equal
+    np.testing.assert_allclose(np.asarray(ca[:, 192:]), np.asarray(ce[:, 192:]))
+    # the uncertainty block: compare as SETS of picked coords per instance
+    for i in range(2):
+        a = {tuple(np.round(x, 6)) for x in np.asarray(ca[i, :192])}
+        e = {tuple(np.round(x, 6)) for x in np.asarray(ce[i, :192])}
+        recall = len(a & e) / len(e)
+        assert recall > 0.85, recall

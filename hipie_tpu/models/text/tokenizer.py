@@ -61,10 +61,19 @@ class WordPieceTokenizer:
 
     @classmethod
     def toy(cls, words: Sequence[str] = ()) -> "WordPieceTokenizer":
-        """Deterministic small vocab for tests: specials + single chars + words."""
+        """Deterministic small vocab for tests: specials + single chars +
+        ##-continuation chars + words.
+
+        The ## continuation pieces make the toy tokenizer TOTAL over ascii
+        words (any word decomposes into char pieces) — without them every
+        multi-char word hit [UNK], which collapsed all class names to ONE
+        embedding and made VL class logits class-independent end to end
+        (root cause of the round-4 overfit eval collapse, TRAINLOG.md)."""
         tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "."]
         tokens += [chr(c) for c in range(ord("a"), ord("z") + 1)]
         tokens += [str(d) for d in range(10)]
+        tokens += ["##" + chr(c) for c in range(ord("a"), ord("z") + 1)]
+        tokens += ["##" + str(d) for d in range(10)]
         for w in words:
             if w not in tokens:
                 tokens.append(w)

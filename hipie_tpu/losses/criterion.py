@@ -71,10 +71,20 @@ def gather_targets(t: Targets, assign: jnp.ndarray):
 
 def loss_labels_vl(logits, assign, targets: Targets, text_mask, num_boxes,
                    alpha=0.25, gamma=2.0):
-    """Token sigmoid focal loss vs positive maps (reference loss_labelsVL)."""
+    """Token sigmoid focal loss vs positive maps (reference loss_labelsVL).
+
+    The focal TARGET is the BINARY token map: the reference binarizes the
+    per-instance positive map before it reaches the criterion
+    (coco_dataset_mapper_uni.py:395 `anno["positive_map"].bool()`, filled into
+    target_classes_onehot at deformable_detr.py:370-376). Targets.positive_map
+    carries the row-NORMALIZED map (which the matcher's token-mean class cost
+    needs, matcher.py:397 `.mean(-1)`); training against the normalized map
+    instead is a real failure mode — focal loss vs soft 1/n_tokens targets is
+    minimized by a flat p=1/n on EVERY class's tokens, which froze toy-scale
+    eval at class-independent scores (TRAINLOG.md round 4)."""
     b, q, L = logits.shape
     matched, _, pos_map, _, _ = gather_targets(targets, assign)
-    tgt = jnp.where(matched[..., None], pos_map, 0.0).astype(jnp.float32)
+    tgt = jnp.where(matched[..., None], (pos_map > 0), False).astype(jnp.float32)
     x = logits.astype(jnp.float32)
     p = jax.nn.sigmoid(x)
     ce = jnp.maximum(x, 0) - x * tgt + jnp.log1p(jnp.exp(-jnp.abs(x)))

@@ -417,3 +417,42 @@ def test_optimizer_mu_dtype_bf16():
     g = jax.tree.map(jnp.ones_like, params)
     upd, _ = tx.update(g, st, params)
     assert jax.tree_util.tree_leaves(upd)[0].dtype == jnp.float32
+
+
+def test_loss_labels_vl_binary_targets():
+    """The focal target must be the BINARY token map even when
+    Targets.positive_map carries row-normalized rows (reference binarizes at
+    coco_dataset_mapper_uni.py:395 before the criterion consumes it;
+    deformable_detr.py:370-376). Training against the normalized 1/n rows is
+    minimized by a flat p=1/n on every class's tokens — the round-4
+    class-collapse (TRAINLOG.md)."""
+    from hipie_tpu.losses.criterion import Targets, loss_labels_vl
+
+    b, q, L, G = 1, 3, 8, 2
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(b, q, L).astype(np.float32))
+    # class 0 spans tokens {1,2,3} (normalized 1/3 rows), class 1 token {5}
+    pm_norm = np.zeros((b, G, L), np.float32)
+    pm_norm[0, 0, 1:4] = 1 / 3
+    pm_norm[0, 1, 5] = 1.0
+    t = Targets(
+        labels=jnp.zeros((b, G), jnp.int32),
+        boxes=jnp.zeros((b, G, 4)),
+        masks=jnp.zeros((b, G, 4, 4)),
+        positive_map=jnp.asarray(pm_norm),
+        is_thing=jnp.ones((b, G), bool),
+        valid=jnp.ones((b, G), bool))
+    assign = jnp.asarray([[0, 1, -1]], jnp.int32)
+    text_mask = jnp.ones((b, L), jnp.int32)
+    got = float(loss_labels_vl(logits, assign, t, text_mask, num_boxes=2.0))
+
+    # independent numpy focal with BINARY targets
+    tgt = np.zeros((b, q, L), np.float32)
+    tgt[0, 0] = (pm_norm[0, 0] > 0)
+    tgt[0, 1] = (pm_norm[0, 1] > 0)
+    x = np.asarray(logits)
+    p = 1 / (1 + np.exp(-x))
+    ce = np.maximum(x, 0) - x * tgt + np.log1p(np.exp(-np.abs(x)))
+    p_t = p * tgt + (1 - p) * (1 - tgt)
+    want = (0.25 * tgt + 0.75 * (1 - tgt)) * ce * (1 - p_t) ** 2
+    np.testing.assert_allclose(got, want.sum() / 2.0, rtol=1e-5)

@@ -36,9 +36,9 @@ def timeit(tag, fn, inputs, iters=4):
     return dt
 
 
-def main():
-    G, P = 200, 37632          # B*K rows, num_points*oversample
-    H = W = 64                 # stride-4 masks at 256^2 crop
+def main(hw: int = 64, g: int = 200):
+    G, P = g, 37632            # B*K rows, num_points*oversample
+    H = W = hw                 # stride-4 masks (64: 256^2 crop, 256: 1024^2)
     rng = np.random.RandomState(0)
     masks_np = [rng.rand(G, H, W).astype(np.float32) for _ in range(4)]
     coords_np = [rng.rand(G, P, 2).astype(np.float32) for _ in range(4)]
@@ -123,6 +123,37 @@ def main():
            [(jnp.asarray(m), jnp.asarray(g), jax.random.PRNGKey(i))
             for i, (m, g) in enumerate(zip(masks_np, gt_np))])
 
+    # dynamic-conv mask build for the selected K slots (one criterion layer)
+    from hipie_tpu.models.mask_head import (
+        dynamic_conv_param_sizes, dynamic_mask_with_coords)
+
+    B = 2 if G >= 200 else 1
+    K = G // B
+    h8, w8 = H // 2, W // 2            # stride-8 feature grid for stride-4 out
+    wn, bn = dynamic_conv_param_sizes(8, 8, 3, True)
+    npar = sum(wn) + sum(bn)
+    feats_np = [rng.rand(B, h8, w8, 8).astype(np.float32) for _ in range(4)]
+    ctrl_np = [rng.rand(B, K, npar).astype(np.float32) for _ in range(4)]
+    refs_np = [rng.rand(B, K, 2).astype(np.float32) * (H * 4) for _ in range(4)]
+
+    @jax.jit
+    def dyn_mask_grad(f, c, r):
+        def body(cc):
+            return dynamic_mask_with_coords(f, r, cc, wn, bn, 8).sum()
+        return jax.grad(body)(c)
+
+    timeit(f"dynamic-conv mask build+grad (B{B} K{K} {H}^2)", dyn_mask_grad,
+           [(jnp.asarray(f), jnp.asarray(c), jnp.asarray(r))
+            for f, c, r in zip(feats_np, ctrl_np, refs_np)])
+
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hw", type=int, default=64,
+                    help="mask side (64 = 256^2 crop, 256 = prod 1024^2)")
+    ap.add_argument("--g", type=int, default=200,
+                    help="mask rows B*K (prod1024 B1 K100 -> 100)")
+    args = ap.parse_args()
+    main(hw=args.hw, g=args.g)

@@ -72,3 +72,24 @@ def test_sharded_inference_matches_single_device():
             np.asarray(a, np.float32), np.asarray(bv, np.float32),
             rtol=1e-4, atol=1e-5,
             err_msg=f"sharded inference diverges from single-device: {name}")
+
+
+def test_shard_tokens_keeps_data_axis():
+    """_shard_tokens must emit P('data', 'model'), not P(None, 'model'):
+    dropping the batch axis forced SPMD to replicate data-sharded activations
+    before re-partitioning ("Involuntary full rematerialization" on the
+    level-concat in the r04 dryrun tail — VERDICT r4 weak #5)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from hipie_tpu.models.transformer import _shard_tokens
+    from hipie_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+    x = jnp.zeros((4, 8, 16))
+    with jax.set_mesh(mesh):
+        y = jax.jit(_shard_tokens)(
+            jax.device_put(x, NamedSharding(mesh, P("data"))))
+    spec = y.sharding.spec
+    assert spec[0] == "data" and spec[1] == "model", spec
+    m2 = jax.jit(_shard_tokens)(jnp.zeros((2, 6)))  # no mesh: no-op
+    assert np.asarray(m2).shape == (2, 6)

@@ -128,6 +128,8 @@ def main(hw: int = 64, g: int = 200):
         dynamic_conv_param_sizes, dynamic_mask_with_coords)
 
     B = 2 if G >= 200 else 1
+    if G % B != 0:
+        G += B - G % B   # keep B*K == G so this case benches the same rows
     K = G // B
     h8, w8 = H // 2, W // 2            # stride-8 feature grid for stride-4 out
     wn, bn = dynamic_conv_param_sizes(8, 8, 3, True)
@@ -138,9 +140,11 @@ def main(hw: int = 64, g: int = 200):
 
     @jax.jit
     def dyn_mask_grad(f, c, r):
-        def body(cc):
-            return dynamic_mask_with_coords(f, r, cc, wn, bn, 8).sum()
-        return jax.grad(body)(c)
+        # grad w.r.t. (feats, controller) both: in training the criterion
+        # backward also flows into mask_feats through the dynamic conv.
+        def body(ff, cc):
+            return dynamic_mask_with_coords(ff, r, cc, wn, bn, 8).sum()
+        return jax.grad(body, argnums=(0, 1))(f, c)
 
     timeit(f"dynamic-conv mask build+grad (B{B} K{K} {H}^2)", dyn_mask_grad,
            [(jnp.asarray(f), jnp.asarray(c), jnp.asarray(r))

@@ -175,6 +175,12 @@ class LossConfig:
     num_points: int = 12544           # 112*112 point-sampled mask loss
     oversample_ratio: float = 3.0
     importance_sample_ratio: float = 0.75
+    # exact_topk=False (default) ranks the uncertainty pick with a bf16 table
+    # + lax.approx_max_k (~0.95 recall, tests/test_point_features.py) instead
+    # of an f32 table + full sort — the pick only steers a Monte-Carlo loss
+    # estimator. Measured at prod1024 on v5e: 3047 -> 2978 ms/step
+    # (PERFORMANCE.md round 5). exact_topk=True restores bit-parity ranking.
+    exact_topk: bool = False
     aux_loss: bool = True
     matcher: str = "hungarian"        # hungarian | ota
     ota_topk: int = 10

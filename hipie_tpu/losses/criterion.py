@@ -128,21 +128,25 @@ def loss_boxes(boxes, iou_logits, assign, targets: Targets, num_boxes,
 
 def loss_masks_pointwise(rng, mask_logits, gt_masks, pair_valid, num_boxes,
                          cfg: LossConfig):
-    """Point-sampled focal + dice on (B, K, H, W) matched masks."""
+    """Point-sampled focal + dice on (B, K, H, W) matched masks.
+
+    Pred and GT are sampled SEPARATELY (not as one stacked gather): the GT
+    half carries no parameter gradient, so stacking it into the pred gather
+    made the custom-VJP splat backward compute matmuls for cotangent rows
+    that are identically zero — half the splat cost for nothing. GT samples
+    through a stop-gradient bf16 table (0/1 values are exact in bf16); pred
+    uses the fastgrad (bf16-operand splat) variant — the gradient is already
+    a Monte-Carlo estimate over cfg.num_points random points."""
     b, k, h, w = mask_logits.shape
     ml = mask_logits.reshape(b * k, h, w).astype(jnp.float32)
-    gm = gt_masks.reshape(b * k, *gt_masks.shape[2:]).astype(jnp.float32)
+    gm = gt_masks.reshape(b * k, *gt_masks.shape[2:])
     coords = uncertain_point_coords(
         rng, jax.lax.stop_gradient(ml), cfg.num_points, cfg.oversample_ratio,
-        cfg.importance_sample_ratio)
-    if ml.shape == gm.shape:
-        # one fused gather for pred + GT (same coords, same geometry)
-        from hipie_tpu.losses.point_features import point_sample_pair
-        logits, labels = point_sample_pair(ml, gm, coords)  # (BK, P) each
-    else:
-        logits = point_sample(ml, coords)                   # (BK, P)
-        labels = point_sample(gm, coords)
-    labels = jax.lax.stop_gradient(labels)
+        cfg.importance_sample_ratio, exact_topk=cfg.exact_topk)
+    logits = point_sample(ml, coords, fastgrad=True)        # (BK, P)
+    labels = jax.lax.stop_gradient(point_sample(
+        gm.astype(jnp.bfloat16),
+        jax.lax.stop_gradient(coords)))                     # (BK, P) f32
     v = pair_valid.reshape(b * k, 1).astype(jnp.float32)
 
     # sigmoid focal (alpha=0.25, gamma=2): mean over points, sum over instances,

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 
-def point_sample(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+def point_sample(masks: jnp.ndarray, coords: jnp.ndarray,
+                 fastgrad: bool = False) -> jnp.ndarray:
     """Bilinear-sample (..., H, W) masks at (..., P, 2) normalized (x, y) coords.
 
     Matches F.grid_sample(align_corners=False, padding_mode='zeros') with
@@ -30,14 +31,15 @@ def point_sample(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     Delegates to ops.bilinear.bilinear_sample, whose custom VJP computes the
     mask gradient by MXU-matmul splatting instead of XLA's scatter-add gather
     transpose (~100x faster on TPU at mask-loss shapes; PERFORMANCE.md).
+    fastgrad=True picks the bf16-operand splat variant (same forward values).
     """
-    from hipie_tpu.ops.bilinear import bilinear_sample
+    from hipie_tpu.ops.bilinear import bilinear_sample, bilinear_sample_fastgrad
 
+    fn = bilinear_sample_fastgrad if fastgrad else bilinear_sample
     h, w = masks.shape[-2], masks.shape[-1]
     batch = masks.shape[:-2]
     p = coords.shape[-2]
-    out = bilinear_sample(masks.reshape((-1, h, w)),
-                          coords.reshape((-1, p, 2)))
+    out = fn(masks.reshape((-1, h, w)), coords.reshape((-1, p, 2)))
     return out.reshape(batch + (p,))    # fp32
 
 

@@ -79,8 +79,14 @@ def _fwd(images, coords):
     return out, (images, coords)
 
 
-def _splat(gout, coords, h, w, chunk_elems=1 << 27):
-    """grad wrt images: (G, P) cotangent -> (G, H, W) via chunked MXU matmuls."""
+def _splat(gout, coords, h, w, chunk_elems=1 << 27, op_dtype=jnp.float32):
+    """grad wrt images: (G, P) cotangent -> (G, H, W) via chunked MXU matmuls.
+
+    op_dtype=bfloat16 runs the one-hot operands and the einsum in bf16 with an
+    f32 accumulator: the one-hots are exact in bf16, so the only loss is ~0.4%
+    relative error on the lx/ly corner weights and the cotangent — acceptable
+    for Monte-Carlo mask-loss gradients, ~2x the f32 MXU rate and half the
+    HBM bytes of the (G, chunk, H/W) one-hot operands."""
     g, p = gout.shape
     x0i, y0i, lx, ly = _corner_setup(coords, h, w)
     # chunk P so the (G, chunk, H) one-hot operand stays ~0.5 GB
@@ -96,11 +102,13 @@ def _splat(gout, coords, h, w, chunk_elems=1 << 27):
 
     def body(acc, xs):
         go, xc, yc, lxc, lyc = xs          # (G, chunk) each
-        wy = (jax.nn.one_hot(yc, h, dtype=jnp.float32) * (1 - lyc)[..., None]
-              + jax.nn.one_hot(yc + 1, h, dtype=jnp.float32) * lyc[..., None])
-        wx = (jax.nn.one_hot(xc, w, dtype=jnp.float32) * (1 - lxc)[..., None]
-              + jax.nn.one_hot(xc + 1, w, dtype=jnp.float32) * lxc[..., None])
-        a = wy * go[..., None]             # (G, chunk, H)
+        lxc = lxc.astype(op_dtype)
+        lyc = lyc.astype(op_dtype)
+        wy = (jax.nn.one_hot(yc, h, dtype=op_dtype) * (1 - lyc)[..., None]
+              + jax.nn.one_hot(yc + 1, h, dtype=op_dtype) * lyc[..., None])
+        wx = (jax.nn.one_hot(xc, w, dtype=op_dtype) * (1 - lxc)[..., None]
+              + jax.nn.one_hot(xc + 1, w, dtype=op_dtype) * lxc[..., None])
+        a = wy * go.astype(op_dtype)[..., None]    # (G, chunk, H)
         return acc + jnp.einsum("gph,gpw->ghw", a, wx,
                                 preferred_element_type=jnp.float32), None
 
@@ -111,21 +119,42 @@ def _splat(gout, coords, h, w, chunk_elems=1 << 27):
     return grad
 
 
-def _bwd(res, gout):
-    images, coords = res
-    g, h, w = images.shape
-    gout = gout.astype(jnp.float32)
-    grad_img = _splat(gout, coords, h, w).astype(images.dtype)
+def _make_bwd(op_dtype):
+    def _bwd(res, gout):
+        images, coords = res
+        g, h, w = images.shape
+        gout = gout.astype(jnp.float32)
+        grad_img = _splat(gout, coords, h, w, op_dtype=op_dtype).astype(
+            images.dtype)
 
-    # analytic coordinate gradient (re-gather the 4 corners)
-    _, (gathered, lx, ly, in_range) = _gather_fwd(images, coords)
-    v00, v01, v10, v11 = (gathered[..., 0], gathered[..., 1],
-                          gathered[..., 2], gathered[..., 3])
-    dx = ((1 - ly) * (v01 - v00) + ly * (v11 - v10)) * w
-    dy = ((1 - lx) * (v10 - v00) + lx * (v11 - v01)) * h
-    m = in_range.astype(jnp.float32) * gout
-    grad_coords = jnp.stack([dx * m, dy * m], axis=-1).astype(coords.dtype)
-    return grad_img, grad_coords
+        # analytic coordinate gradient (re-gather the 4 corners); XLA DCEs
+        # this whole block when the coords cotangent is unused (the mask-loss
+        # coords come from rng + stop-gradient picks).
+        _, (gathered, lx, ly, in_range) = _gather_fwd(images, coords)
+        v00, v01, v10, v11 = (gathered[..., 0], gathered[..., 1],
+                              gathered[..., 2], gathered[..., 3])
+        dx = ((1 - ly) * (v01 - v00) + ly * (v11 - v10)) * w
+        dy = ((1 - lx) * (v10 - v00) + lx * (v11 - v01)) * h
+        m = in_range.astype(jnp.float32) * gout
+        grad_coords = jnp.stack([dx * m, dy * m], axis=-1).astype(coords.dtype)
+        return grad_img, grad_coords
+    return _bwd
 
 
-bilinear_sample.defvjp(_fwd, _bwd)
+bilinear_sample.defvjp(_fwd, _make_bwd(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def bilinear_sample_fastgrad(images: jnp.ndarray,
+                             coords: jnp.ndarray) -> jnp.ndarray:
+    """bilinear_sample with a bf16-operand splat backward.
+
+    Identical FORWARD values to bilinear_sample; the image gradient is the
+    same chunked-matmul splat with bf16 one-hot/weight operands (f32
+    accumulation). Used by the point-sampled mask losses, where the gradient
+    is already a 12544-point Monte-Carlo estimate."""
+    out, _ = _gather_fwd(images, coords)
+    return out
+
+
+bilinear_sample_fastgrad.defvjp(_fwd, _make_bwd(jnp.bfloat16))

@@ -114,6 +114,29 @@ def test_custom_vjp_matches_torch_grads():
     np.testing.assert_allclose(np.asarray(gc), t_gcoord, rtol=1e-4, atol=1e-3)
 
 
+def test_fastgrad_splat_close_to_exact():
+    """bilinear_sample_fastgrad: identical forward, bf16-operand splat
+    backward within ~1% of the exact f32 splat (criterion.py uses it for the
+    Monte-Carlo mask-loss gradient)."""
+    from hipie_tpu.ops.bilinear import bilinear_sample, bilinear_sample_fastgrad
+
+    rng = np.random.RandomState(13)
+    masks = jnp.asarray(rng.randn(3, 12, 10).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(-0.1, 1.1, (3, 64, 2)).astype(np.float32))
+    cot = jnp.asarray(rng.randn(3, 64).astype(np.float32))
+
+    np.testing.assert_array_equal(
+        np.asarray(bilinear_sample_fastgrad(masks, coords)),
+        np.asarray(bilinear_sample(masks, coords)))
+
+    def g(fn):
+        return jax.grad(lambda m: (fn(m, coords) * cot).sum())(masks)
+
+    ge = np.asarray(g(bilinear_sample))
+    gf = np.asarray(g(bilinear_sample_fastgrad))
+    np.testing.assert_allclose(gf, ge, rtol=2e-2, atol=2e-2)
+
+
 def test_uncertain_coords_approx_topk_high_recall():
     """Opt-in approx_max_k selection must overlap the exact-sort selection
     heavily (it steers the same Monte-Carlo estimator; exact_topk=True is the

@@ -106,6 +106,10 @@ if __name__ == "__main__":
         "fwd_scale": {"solver.max_iter": 1},   # placeholder
         "prod1024": {"data.crop_size": 1024, "solver.ims_per_batch": 1,
                      "data.max_text_len": 128, "model.text.max_query_len": 128},
+        "prod1024_approx": {"data.crop_size": 1024, "solver.ims_per_batch": 1,
+                            "data.max_text_len": 128,
+                            "model.text.max_query_len": 128,
+                            "model.loss.exact_topk": False},
         "prod1024_b2": {"data.crop_size": 1024, "solver.ims_per_batch": 2,
                         "data.max_text_len": 128,
                         "model.text.max_query_len": 128},

@@ -34,12 +34,6 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: multi-minute test (excluded from the fast tier)")
     config.addinivalue_line(
-        "markers", "fast: inner-loop tier, <5 min total (pytest -m fast); "
-                   "auto-applied to everything not marked slow/tpu")
-
-
-def pytest_collection_modifyitems(config, items):
-    import pytest as _pytest
-    for item in items:
-        if "slow" not in item.keywords and "tpu" not in item.keywords:
-            item.add_marker(_pytest.mark.fast)
+        "markers", "fast: curated inner-loop tier (pytest -m fast), opt-in "
+                   "per module via pytestmark — measured cold on a 1-core "
+                   "host, see README. The full suite is the merge gate.")

@@ -3,6 +3,10 @@ import jax.numpy as jnp
 
 from hipie_tpu.ops import box_ops
 
+import pytest
+
+pytestmark = pytest.mark.fast  # curated inner-loop tier (tests/conftest.py)
+
 
 def test_cxcywh_roundtrip():
     b = jnp.array([[0.5, 0.5, 0.2, 0.4]])

@@ -7,6 +7,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.fast  # curated inner-loop tier (tests/conftest.py)
+
 
 def _unfold_wo_center(x, kernel_size, dilation):
     import torch.nn.functional as F

@@ -20,6 +20,8 @@ import pytest
 from hipie_tpu.evaluation.coco_eval import (AREA_RNG, IOU_THRS, RECALL_THRS,
                                             COCOApEvaluator)
 
+pytestmark = pytest.mark.fast  # curated inner-loop tier (tests/conftest.py)
+
 
 def _box_iou(d, g, crowd):
     """xyxy IoU; crowd gt uses det area as the denominator (IoF)."""

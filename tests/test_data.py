@@ -6,6 +6,8 @@ import pytest
 
 from hipie_tpu.models.text.tokenizer import WordPieceTokenizer
 
+pytestmark = pytest.mark.fast  # curated inner-loop tier (tests/conftest.py)
+
 
 def make_tok():
     return WordPieceTokenizer.toy(words=["person", "bicycle", "car", "sky",

@@ -7,6 +7,8 @@ import pytest
 from hipie_tpu.data.datasets import DATASET_METADATA, DATASET_REGISTRY
 from hipie_tpu.data.datasets_extra import get_openseg_labels, openseg_names_and_things
 
+pytestmark = pytest.mark.fast  # curated inner-loop tier (tests/conftest.py)
+
 
 def test_benchmark_registrations_present():
     names = set(DATASET_REGISTRY)

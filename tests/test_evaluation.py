@@ -3,6 +3,10 @@ PQ/mIoU/oIoU sanity."""
 
 import numpy as np
 
+import pytest
+
+pytestmark = pytest.mark.fast  # curated inner-loop tier (tests/conftest.py)
+
 
 def test_rle_roundtrip():
     from hipie_tpu.evaluation.rle import rle_decode, rle_encode, rle_area

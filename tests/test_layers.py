@@ -6,6 +6,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.fast  # curated inner-loop tier (tests/conftest.py)
+
 
 def test_aligned_bilinear_matches_reference_algorithm():
     """Reproduce the reference aligned_bilinear (ddetrs_dn.py:1832-1855) in torch

@@ -6,6 +6,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.fast  # curated inner-loop tier (tests/conftest.py)
+
 
 def test_auction_near_optimal_vs_scipy():
     from scipy.optimize import linear_sum_assignment

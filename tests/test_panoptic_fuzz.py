@@ -22,6 +22,8 @@ import pytest
 
 from hipie_tpu.evaluation.seg_eval import PanopticEvaluator
 
+pytestmark = pytest.mark.fast  # curated inner-loop tier (tests/conftest.py)
+
 _OFFSET = 256 ** 3
 _VOID = 0
 

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 from hipie_tpu.losses.point_features import (point_sample, point_sample_pair,
                                              uncertain_point_coords)
 
+pytestmark = pytest.mark.fast  # curated inner-loop tier (tests/conftest.py)
+
 
 def torch_point_sample(masks, coords):
     import torch

@@ -17,6 +17,7 @@ Conventions:
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -24,6 +25,33 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """GELU with a precision-aware approximation choice.
+
+    The reference uses torch.nn.GELU() (exact erf) everywhere. On TPU the erf
+    expansion does NOT fuse into the surrounding matmuls the way the tanh
+    polynomial does: at ViT-H MLP shapes (4096x1280x5120, bf16) exact erf costs
+    ~0.7 ms/block extra while tanh is free (tools/microbench_vit_mlp.py, v5e).
+    Across ViT-H's 32 blocks that is ~20 ms/image of pure epilogue overhead.
+
+    Numerics: on the main mass (|gelu(x)| >= 0.05) the tanh approximation is
+    within ONE bf16 ulp of exact — indistinguishable after output rounding; in
+    the tiny-output negative tail (x in ~[-4,-1], |y| < 0.05) the ~3e-4
+    absolute error reaches a few ulps of those near-zero values (unit test:
+    tests/test_layers.py::test_gelu_tanh_within_bf16_rounding). fp32 compute
+    keeps exact erf for bit-parity with the converter/parity harness.
+
+    Override for A/B: HIPIE_GELU=exact|tanh (read at trace time, like
+    HIPIE_MSDA_METHOD).
+    """
+    ov = os.environ.get("HIPIE_GELU", "")
+    if ov == "exact":
+        return nn.gelu(x, approximate=False)
+    if ov == "tanh":
+        return nn.gelu(x, approximate=True)
+    return nn.gelu(x, approximate=(x.dtype == jnp.bfloat16))
 
 
 class MLP(nn.Module):

@@ -12,7 +12,7 @@ from typing import Any, Dict, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from hipie_tpu.layers import DropPath
+from hipie_tpu.layers import DropPath, gelu
 
 CONVNEXT_VARIANTS = {
     "tiny": ((3, 3, 9, 3), (96, 192, 384, 768)),
@@ -36,7 +36,7 @@ class ConvNeXtBlock(nn.Module):
                     dtype=self.dtype, name="dwconv")(x)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(y)
         y = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(y)
-        y = nn.gelu(y, approximate=False)
+        y = gelu(y)
         y = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(y)
         gamma = self.param("gamma", nn.initializers.constant(self.layer_scale_init),
                            (self.dim,))

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from hipie_tpu.layers import DropPath
+from hipie_tpu.layers import DropPath, gelu
 from hipie_tpu.models.backbone.vit import window_partition, window_unpartition
 
 
@@ -105,7 +105,7 @@ class SwinBlock(nn.Module):
         x = shortcut + DropPath(self.drop_path, name="dp1")(y, deterministic)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
-        y = nn.gelu(y, approximate=False)
+        y = gelu(y)
         y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
         return x + DropPath(self.drop_path, name="dp2")(y, deterministic)
 

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from hipie_tpu.layers import DropPath
+from hipie_tpu.layers import DropPath, gelu
 
 
 def resize_abs_pos(pos_embed: jnp.ndarray, has_cls_token: bool, hw: Tuple[int, int]) -> jnp.ndarray:
@@ -218,7 +218,7 @@ class ViTBlock(nn.Module):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
         y = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(y)
-        y = nn.gelu(y, approximate=False)
+        y = gelu(y)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
         return x + self._drop_path(y, rate, deterministic)
 

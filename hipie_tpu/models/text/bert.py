@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from hipie_tpu.layers import gelu
+
 
 class BertSelfAttention(nn.Module):
     hidden_size: int
@@ -59,7 +61,7 @@ class BertLayer(nn.Module):
                                      name="attention")(x, attn_bias)
         x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="attention_norm")(x + attn_out)
         y = nn.Dense(self.intermediate_size, dtype=self.dtype, name="intermediate")(x)
-        y = nn.gelu(y, approximate=False)
+        y = gelu(y)
         y = nn.Dense(self.hidden_size, dtype=self.dtype, name="output")(y)
         return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="output_norm")(x + y)
 

@@ -143,3 +143,38 @@ def test_sine_position_embedding_matches_torch_reference():
     ref = torch_pos(mask)
     got = np.asarray(sine_position_embedding_2d(jnp.asarray(mask), num_pos_feats=8))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_gelu_tanh_within_bf16_rounding():
+    """layers.gelu uses the tanh approximation under bf16 compute; assert the
+    approximation error stays below one bf16 ulp of the exact value, i.e. the
+    two are indistinguishable after output rounding (PERFORMANCE.md round 5:
+    exact erf costs ~0.7 ms per ViT-H MLP block, tanh is free)."""
+    import jax
+    from hipie_tpu.layers import gelu
+
+    x = jnp.asarray(np.linspace(-6, 6, 4001), jnp.float32)
+    exact = np.asarray(jax.nn.gelu(x, approximate=False))
+    tanh = np.asarray(jax.nn.gelu(x, approximate=True))
+    # bf16 ulp at magnitude |exact|: 2^-8 relative, with a small absolute
+    # floor for the near-zero tail.
+    ulp = np.maximum(np.abs(exact) * 2.0**-8, 1e-4)
+    err = np.abs(exact - tanh)
+    # main mass (|gelu| >= 0.05): within ONE bf16 ulp — indistinguishable
+    # after output rounding.
+    main = np.abs(exact) >= 0.05
+    assert (err[main] <= ulp[main]).all(), float((err / ulp)[main].max())
+    # negative tail (|gelu| < 0.05, x in ~[-4, -1]): the approximation's
+    # ~3e-4 absolute error is a few ulps of these tiny values; bound it.
+    assert (err <= 5.0 * ulp).all(), float((err / ulp).max())
+
+    # and the module-level switch under bf16 compute: the tanh-bf16 output
+    # sits within the same few-ulp band of the TRUE (f32 exact) value that
+    # any bf16 evaluation occupies (intermediate bf16 rounding alone moves
+    # either path a couple of ulps).
+    xb = x.astype(jnp.bfloat16)
+    got = np.asarray(gelu(xb).astype(jnp.float32))
+    true = np.asarray(jax.nn.gelu(xb.astype(jnp.float32), approximate=False))
+    band = np.maximum(np.abs(true) * 2.0**-8, 1e-3)
+    assert (np.abs(got - true) <= 4.0 * band).all(), \
+        float((np.abs(got - true) / band).max())

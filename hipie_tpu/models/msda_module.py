@@ -88,13 +88,13 @@ class MSDeformAttn(nn.Module):
 
         # bf16 quad tables under a bf16 compute dtype (matches the reference's
         # AMP fp16 sampling envelope); exact fp32 path otherwise (tests).
-        # Default is flat_bf16 — the formulation behind the round-1 measured
-        # 4.29 img/s. flat4_bf16 (natural row order + fused Pallas reduce) is
-        # selectable via HIPIE_MSDA_METHOD for the in-program TPU A/B and
-        # becomes the default only once it has a measured win AND green
-        # tpu-marked tests (round-2 lesson: no default without evidence).
+        # Default is flat6_bf16 — (b, m, l, p, q) row order with Q-minor prep
+        # layouts: measured 5.06 img/s vs flat_bf16's 4.72 on the full ViT-H
+        # bench (r05 in-program A/B) with green tpu-marked oracle tests, per
+        # the no-default-without-evidence rule (round-2 lesson). Earlier
+        # variants remain selectable via HIPIE_MSDA_METHOD.
         method = os.environ.get("HIPIE_MSDA_METHOD") or (
-            "flat_bf16" if self.dtype == jnp.bfloat16 else "flat")
+            "flat6_bf16" if self.dtype == jnp.bfloat16 else "flat")
         # custom-VJP wrapper: identical forward; hand-written backward (corner
         # regather + analytic loc/weight grads + MXU splat for grad(value))
         # instead of XLA's serialized scatter-add transpose (PERFORMANCE.md).

@@ -617,6 +617,105 @@ def _flat_quad_attn_v5(
     return out.reshape(b, q, m * d)
 
 
+def _flat_quad_attn_v6(
+    value: jnp.ndarray,        # (B, S, M, D) any float dtype
+    spatial_shapes: Shapes,
+    loc: jnp.ndarray,          # (B, Q, M, L, P, 2) fp32
+    weights: jnp.ndarray,      # (B, Q, M, L, P) fp32
+    table_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Row order (b, m, l, p, q) with Q as the MINOR dim of every prep array.
+
+    Why: v1 materializes idx/cw at (B,M,Q,L,P[,4]) — minor dims of 4 force
+    XLA into T(4,128) tiled layouts whose copies/reshapes cost ~8.6 ms/layer
+    at batch 2 (r05 trace: copy.6648 + reshape.10320 + friends). Here loc and
+    weights are transposed ONCE per call as plain 2-D (Q, F) matrices
+    (F = M*L*P*2 = 256 — both dims tile perfectly), and every derived array
+    keeps Q minor, so nothing small ever lands in the lane dim. Bonus over
+    v1's (b, m, q, l, p) order: consecutive gather rows stay inside ONE
+    (head, level) table region with raster-adjacent sampling locations —
+    strictly better locality than alternating levels every P rows. The
+    segment-sum S matmul and its block padding disappear: the (l, p) reduce
+    is a plain axis sum at (BM, LP, Q, 4D).
+
+    Returns (B, Q, M * D) fp32 — already head-concatenated.
+    """
+    b, s, m, d = value.shape
+    q, _, L, p, _ = loc.shape[1:]
+    f32 = jnp.float32
+
+    # ONE well-tiled relayout each: (B, Q, F) -> (B, F, Q), then free splits.
+    locT = jnp.transpose(loc.reshape(b, q, m * L * p * 2), (0, 2, 1))
+    locT = locT.reshape(b, m, L, p, 2, q)
+    wT = jnp.transpose(weights.reshape(b, q, m * L * p), (0, 2, 1))
+    wT = wT.reshape(b, m, L, p, q)
+
+    value_t = jnp.transpose(value.astype(table_dtype), (0, 2, 1, 3))
+    tables, idx_parts, cw_parts = [], [], []
+    start, row_off = 0, 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v_l = jax.lax.slice_in_dim(value_t, start, start + h * w, axis=2)
+        vp = jnp.pad(v_l.reshape(b, m, h, w, d),
+                     ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+        quad = jnp.concatenate(
+            [vp[:, :, :-1, :-1], vp[:, :, :-1, 1:],
+             vp[:, :, 1:, :-1], vp[:, :, 1:, 1:]], axis=-1)
+        tables.append(quad.reshape(b, m, (h + 1) * (w + 1), 4 * d))
+
+        x = locT[:, :, lvl, :, 0, :] * w - 0.5           # (B, M, P, Q)
+        y = locT[:, :, lvl, :, 1, :] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        lx = x - x0
+        ly = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        in_range = (x0i >= -1) & (x0i <= w - 1) & (y0i >= -1) & (y0i <= h - 1)
+        idx = ((jnp.clip(y0i, -1, h - 1) + 1) * (w + 1)
+               + (jnp.clip(x0i, -1, w - 1) + 1)) + row_off
+        idx_parts.append(idx)                            # (B, M, P, Q)
+        aw = in_range.astype(f32) * wT[:, :, lvl]        # (B, M, P, Q)
+        cw_parts.append(jnp.stack(
+            [(1 - ly) * (1 - lx) * aw, (1 - ly) * lx * aw,
+             ly * (1 - lx) * aw, ly * lx * aw], axis=2))  # (B, M, 4, P, Q)
+        start += h * w
+        row_off += (h + 1) * (w + 1)
+
+    table = jnp.concatenate(tables, axis=2)              # (B, M, R, 4D)
+    idx = jnp.stack(idx_parts, axis=2)                   # (B, M, L, P, Q)
+    cw = jnp.stack(cw_parts, axis=3)                     # (B, M, 4, L, P, Q)
+
+    r = table.shape[2]
+    off = (jnp.arange(b * m, dtype=jnp.int32) * r).reshape(b, m, 1, 1, 1)
+    k = L * p
+    n_rows = b * m * k * q
+    flat_idx = (idx + off).reshape(n_rows)               # (b,m,l,p,q) order
+
+    # NOTE: keep take's default (fill) OOB mode — see the comment in v1.
+    g = jnp.take(table.reshape(b * m * r, 4 * d), flat_idx, axis=0)
+    g = g.reshape(b * m, k, q, 4 * d)
+
+    # corner-expand cw onto the packed 4d lane dim WITHOUT a (rows, 4)
+    # intermediate: 4 broadcast multiply-adds against 0/1 lane masks, fused
+    # by XLA into the g multiply (nothing with a minor dim < 128 exists).
+    lane_c = jnp.arange(4 * d) // d                      # (4D,)
+    cwt = cw.reshape(b * m, 4, k, q).astype(table.dtype)
+    cwmat = jnp.zeros((b * m, k, q, 4 * d), table.dtype)
+    for c in range(4):
+        mask_c = (lane_c == c).astype(table.dtype)       # (4D,) 0/1
+        cwmat = cwmat + cwt[:, c][..., None] * mask_c
+
+    if table.dtype == jnp.bfloat16:
+        partial = jnp.sum((g * cwmat).astype(f32), axis=1)   # (BM, Q, 4D) f32
+    else:
+        partial = jnp.sum(g * cwmat, axis=1)
+    # fold the 4 corners: strided lane-slice adds (still 4D -> D wide lanes).
+    out = (partial[..., 0 * d:1 * d] + partial[..., 1 * d:2 * d]
+           + partial[..., 2 * d:3 * d] + partial[..., 3 * d:4 * d])
+    out = out.reshape(b, m, q, d)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, q, m * d)
+
+
 def ms_deform_attn_jnp(
     value: jnp.ndarray,                 # (B, S, M, D)
     spatial_shapes: Shapes,             # static ((H0,W0), (H1,W1), ...)
@@ -626,7 +725,7 @@ def ms_deform_attn_jnp(
 ) -> jnp.ndarray:
     """Pure-XLA multi-scale deformable attention. Returns (B, Q, M*D)."""
     orig_dtype = value.dtype
-    if not method.startswith(("flat2", "flat3", "flat4", "flat5")):
+    if not method.startswith(("flat2", "flat3", "flat4", "flat5", "flat6")):
         # flat2/3/4 cast value straight to the table dtype (no fp32 HBM round
         # trip); all other paths sample in fp32 like the reference kernel.
         value = value.astype(jnp.float32)
@@ -641,6 +740,10 @@ def ms_deform_attn_jnp(
 
     if method.startswith("flat"):
         td = jnp.bfloat16 if method.endswith("bf16") else jnp.float32
+        if method.startswith("flat6"):
+            out = _flat_quad_attn_v6(value, spatial_shapes,
+                                     sampling_locations, attention_weights, td)
+            return out.astype(orig_dtype)      # already (B, Q, M*D)
         if method.startswith("flat5"):
             out = _flat_quad_attn_v5(value, spatial_shapes,
                                      sampling_locations, attention_weights, td)

@@ -163,7 +163,8 @@ def test_flat2_bf16_matches_flat_bf16():
     np.testing.assert_allclose(a, b_, rtol=2e-2, atol=2e-2)
 
 
-@pytest.mark.parametrize("method", ["flat3", "flat4", "flat4_bf16", "flat5", "flat5_bf16"])
+@pytest.mark.parametrize("method", ["flat3", "flat4", "flat4_bf16", "flat5",
+                                    "flat5_bf16", "flat6", "flat6_bf16"])
 def test_flat34_matches_naive(method):
     """flat4 is the default inference formulation (msda_module) — it must be
     covered against the independent oracle like every other formulation
@@ -236,7 +237,8 @@ def test_pallas_segment_sum_mosaic():
 
 
 @pytest.mark.tpu
-@pytest.mark.parametrize("method", ["flat4", "flat4_bf16", "flat5", "flat5_bf16"])
+@pytest.mark.parametrize("method", ["flat4", "flat4_bf16", "flat5",
+                                    "flat5_bf16", "flat6", "flat6_bf16"])
 def test_flat4_matches_naive_on_tpu(method):
     """Default-dispatch formulation on the real chip (Mosaic reduce path)."""
     if jax.default_backend() != "tpu":

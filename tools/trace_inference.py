@@ -63,8 +63,12 @@ def main():
     rng = np.random.RandomState(int(__import__("time").time()) % 100000)
     im2 = jnp.asarray(
         rng.uniform(0, 255, (batch, size, size, 3)).astype(np.float32))
-    outdir = "/tmp/infer_trace"
+    # per-run dir (batch + pid): never clobber a previous capture — an earlier
+    # session lost a trace to the old rm -rf when two captures overlapped.
+    outdir = os.environ.get(
+        "TRACE_DIR", f"/tmp/infer_trace_b{batch}_{os.getpid()}")
     os.system(f"rm -rf {outdir}")
+    print("trace dir:", outdir, flush=True)
     with jax.profiler.trace(outdir):
         force(fn(params, im2, pad, ids, am, sizes))
 
